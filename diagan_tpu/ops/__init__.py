@@ -1,0 +1,20 @@
+"""TPU-native ops: upfirdn2d and fused bias+LeakyReLU.
+
+These replace the reference's two CUDA extensions
+(reference: diagan-pkg/diagan/models/op/upfirdn2d_kernel.cu,
+ diagan-pkg/diagan/models/op/fused_bias_act_kernel.cu) with
+XLA-fused and Pallas implementations operating on NHWC arrays.
+"""
+from diagan_tpu.ops.upfirdn2d import (
+    upfirdn2d,
+    upfirdn2d_ref,
+    make_resample_kernel,
+)
+from diagan_tpu.ops.fused_act import fused_leaky_relu
+
+__all__ = [
+    "upfirdn2d",
+    "upfirdn2d_ref",
+    "make_resample_kernel",
+    "fused_leaky_relu",
+]

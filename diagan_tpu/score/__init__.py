@@ -1,0 +1,15 @@
+from diagan_tpu.score.score import (
+    calculate_scores,
+    clip_max_ratio,
+    clip_min,
+    ldr_conf_score,
+    prepare_sample_weights,
+)
+
+__all__ = [
+    "calculate_scores",
+    "clip_max_ratio",
+    "clip_min",
+    "ldr_conf_score",
+    "prepare_sample_weights",
+]
