@@ -1,0 +1,102 @@
+"""On-device per-example logit recorder — the phase-1 diagnosis instrument.
+
+The reference sweeps the full train set through D every `logit_save_steps`
+steps inside the recording window, with a host<->device sync per batch
+(`_get_logit`, reference diagan-pkg/diagan/trainer/trainer.py:142-156), and
+accumulates {step: float64[N]} dicts pickled to `logits_{name}.pkl`
+(trainer.py:138-140, 328-346).
+
+TPU-native redesign: the whole sweep is ONE jitted lax.scan over
+static-shape index batches (ragged tail handled by a validity mask), the
+scatter `logit_list[idx] = logits` happens on device into a preallocated
+[num_snapshots, N] ring buffer, and only checkpoint-time pickling touches
+the host. The buffer + step vector are part of the checkpointed state, so
+a mid-window restart loses nothing.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diagan_tpu.data.pipeline import full_sweep_index_batches
+
+
+class LogitRecorder:
+    def __init__(self, num_data: int, max_snapshots: int, batch_size: int = 256):
+        self.num_data = num_data
+        self.max_snapshots = max_snapshots
+        self.buffer = jnp.zeros((max_snapshots, num_data), jnp.float32)
+        self.steps = np.full((max_snapshots,), -1, np.int64)
+        self.count = 0
+        idx, mask = full_sweep_index_batches(num_data, batch_size)
+        self._idx = jnp.asarray(idx)
+        self._mask = jnp.asarray(mask)
+        self._sweep = None
+
+    def _build_sweep(self, d_fwd, quantized):
+        @jax.jit
+        def sweep(params, state, images, buffer, slot):
+            def body(carry, xs):
+                buf = carry
+                idx, mask = xs
+                batch = jnp.take(images, idx, axis=0)
+                if quantized:
+                    batch = batch.astype(jnp.float32) / 127.5 - 1.0
+                (logits, _), _ = d_fwd(params, state, batch)
+                # padding lanes scatter out-of-bounds and are dropped, so a
+                # padded duplicate of a real index can never clobber it
+                idx_eff = jnp.where(mask, idx, self.num_data)
+                buf = buf.at[idx_eff].set(logits, mode="drop")
+                return buf, None
+
+            row, _ = jax.lax.scan(
+                body, jnp.zeros((self.num_data,), jnp.float32),
+                (self._idx, self._mask),
+            )
+            return buffer.at[slot].set(row)
+
+        return sweep
+
+    def record(self, d_fwd, params, state, images, global_step: int,
+               quantized: bool = True):
+        """Run a full-dataset D sweep and store it in the next buffer slot.
+
+        d_fwd(params, state, batch) -> ((logits, aux), new_state) in eval
+        mode (update_stats=False); the recorder never mutates D state —
+        matching the reference's eval_mode sweep (trainer.py:142-148).
+        """
+        if self.count >= self.max_snapshots:
+            raise RuntimeError("logit buffer full; raise max_snapshots")
+        if self._sweep is None:
+            self._sweep = self._build_sweep(d_fwd, quantized)
+        self.buffer = self._sweep(params, state, images, self.buffer, self.count)
+        self.steps[self.count] = int(global_step)
+        self.count += 1
+
+    def as_dict(self) -> dict:
+        """Reference pickle format: {global_step: float64[N]}."""
+        buf = np.asarray(self.buffer[: self.count], np.float64)
+        return {int(s): buf[i] for i, s in enumerate(self.steps[: self.count])}
+
+    def save(self, path):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self.as_dict(), f)
+
+    # -- checkpoint support ------------------------------------------------
+    def state_dict(self):
+        return {
+            "buffer": np.asarray(self.buffer),
+            "steps": self.steps.copy(),
+            "count": self.count,
+        }
+
+    def load_state_dict(self, d):
+        self.buffer = jnp.asarray(d["buffer"])
+        self.steps = np.asarray(d["steps"]).copy()
+        self.count = int(d["count"])

@@ -1,0 +1,251 @@
+"""Fused jitted GAN train steps.
+
+This replaces the reference's per-step torch loop
+(`LogTrainer.train()` hot loop, reference
+diagan-pkg/diagan/trainer/trainer.py:238-291): n_dis discriminator updates,
+the lock-step DRS discriminator updates on unweighted data
+(trainer.py:266-277), and one generator update on the last inner iteration
+(trainer.py:283-291) — all inside ONE jitted function with zero host
+synchronization. Batches are drawn on device (weighted categorical for the
+phase-2 resampler, uniform for D_drs), so the whole step graph — sampling,
+gather, dequantize, G/D forwards, losses, Adam updates — compiles to a
+single XLA program. A further `make_train_chunk` wraps K steps in a
+lax.scan so host round-trips happen once per K steps.
+
+Loss-level switches implemented here (vs. the reference's mixin classes):
+  - GOLD: fake-term reweighting by stop_grad(logit) activated when
+    step >= gold_step (gold_reweight_models.py:10-61, trainer.py:215-216).
+  - top-k: G trains on the top-k fake logits with rate
+    max(0.99^epoch, 0.5) (topk_models.py:15-38).
+  - SSGAN: 4-way rotation self-supervision (D on real @1.0, G on fake @0.2).
+  - InfoMaxGAN: local-global InfoNCE (both @0.2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diagan_tpu.data.sampler import sample_uniform_indices, sample_weighted_indices
+from diagan_tpu.models import losses as L
+from diagan_tpu.train.state import NetState
+
+
+class StepConfig(NamedTuple):
+    n_dis: int
+    batch_size: int
+    nz: int
+    loss_type: str
+    drs_loss_type: str
+    model: str          # 'sngan' | 'ssgan' | 'infomax_gan' | 'dcgan' | 'toy'
+    gold: bool
+    gold_step: int
+    topk: bool
+    epoch_steps: int    # dataset batches per epoch, for top-k decay
+    use_drs: bool
+    quantized: bool     # uint8 image gather needs dequantize
+
+
+def _gather(images, idx, quantized):
+    batch = jnp.take(images, idx, axis=0)
+    if quantized:
+        batch = batch.astype(jnp.float32) / 127.5 - 1.0
+    return batch
+
+
+def _sample_idx(key, num_data, log_weights, shape):
+    if log_weights is None:
+        return sample_uniform_indices(key, num_data, shape)
+    return sample_weighted_indices(key, log_weights, shape)
+
+
+def make_apply_fns(gen, disc, disc_drs):
+    """Uniform apply helpers over (params, mutable-collections state)."""
+
+    def gen_fwd(params, state, z, rng, mutable):
+        variables = {"params": params, **state}
+        if state:
+            out, new_state = gen.apply(
+                variables, z, train=True, mutable=list(state.keys()),
+                rngs={"dropout": rng},
+            )
+        else:
+            out, new_state = gen.apply(variables, z, train=True,
+                                       rngs={"dropout": rng}), {}
+        # mutable=False: discard collection updates (fake generation inside a
+        # D step does not advance G's BatchNorm running stats; the G step does)
+        return out, (new_state if mutable else state)
+
+    def gen_eval(params, state, z):
+        return gen.apply({"params": params, **state}, z, train=False)
+
+    def make_d_fwd(dmod):
+        def d_fwd(params, state, x, rng, update_stats, train=True):
+            out, new_state = dmod.apply(
+                {"params": params, **state}, x,
+                update_stats=update_stats, train=train,
+                mutable=list(state.keys()) if state else [],
+                rngs={"dropout": rng},
+            )
+            return out, new_state
+        return d_fwd
+
+    return gen_fwd, gen_eval, make_d_fwd(disc), (
+        make_d_fwd(disc_drs) if disc_drs is not None else None
+    )
+
+
+def _d_loss(cfg: StepConfig, loss_type, logits_real, logits_fake, gold_active):
+    """Discriminator adversarial loss with optional GOLD fake-term weights."""
+    if loss_type == "hinge":
+        real_term = jnp.mean(L.nn_relu(1.0 - logits_real))
+        fake_per = L.nn_relu(1.0 + logits_fake)
+    elif loss_type in ("ns", "minimax"):
+        real_term = jnp.mean(L._bce_with_logits(logits_real, 1.0))
+        fake_per = L._bce_with_logits(logits_fake, 0.0)
+    elif loss_type == "wasserstein":
+        real_term = -jnp.mean(logits_real)
+        fake_per = logits_fake
+    else:
+        raise ValueError(loss_type)
+    if cfg.gold:
+        # gold weight = stop_grad(logit**1); inactive -> 1
+        w = jnp.where(gold_active, jax.lax.stop_gradient(logits_fake), 1.0)
+    else:
+        w = 1.0
+    return real_term + jnp.mean(w * fake_per)
+
+
+def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
+                    num_data: int, drs_num_data: int):
+    gen_fwd, gen_eval, d_fwd, d_drs_fwd = make_apply_fns(gen, disc, disc_drs)
+
+    def d_step(d_state: NetState, tx, fwd, loss_type, g_state, real, z, rng,
+               gold_active):
+        def loss_fn(params):
+            fakes, _ = gen_fwd(g_state.params, g_state.state, z, rng, mutable=False)
+            fakes = jax.lax.stop_gradient(fakes)
+            (lr_, aux_r), st1 = fwd(params, d_state.state, real, rng, True)
+            (lf_, aux_f), st2 = fwd(params, st1, fakes, rng, True)
+            loss = _d_loss(cfg, loss_type, lr_, lf_, gold_active)
+            if cfg.model == "ssgan":
+                rot, labels = L.rotate_batch_4way(real)
+                (_, aux_rot), st2 = fwd(params, st2, rot, rng, False)
+                loss = loss + 1.0 * L.ss_rotation_loss(aux_rot["ss_logits"], labels)
+            elif cfg.model == "infomax_gan":
+                loss = loss + 0.2 * L.infonce_loss(
+                    aux_r["local_proj"], aux_r["global_proj"]
+                )
+            return loss, (st2, lr_, lf_)
+
+        (loss, (new_state, lr_, lf_)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(d_state.params)
+        updates, new_opt = tx.update(grads, d_state.opt_state, d_state.params)
+        new_params = optax.apply_updates(d_state.params, updates)
+        return (
+            NetState(new_params, new_state, new_opt, d_state.step + 1),
+            {"errD": loss, "D(x)": jnp.mean(lr_), "D(G(z))": jnp.mean(lf_)},
+        )
+
+    def g_step(g_state: NetState, d_state: NetState, z, rng, topk_rate):
+        def loss_fn(params):
+            fakes, new_g_state = gen_fwd(params, g_state.state, z, rng, mutable=True)
+            (lf_, aux_f), new_d_state = d_fwd(
+                d_state.params, d_state.state, fakes, rng, True
+            )
+            if cfg.topk:
+                sorted_logits, mask = L.topk_filter(lf_, topk_rate)
+                loss = L.masked_gen_loss(cfg.loss_type, sorted_logits, mask)
+            else:
+                loss = L.GEN_LOSSES[cfg.loss_type](lf_)
+            if cfg.model == "ssgan":
+                rot, labels = L.rotate_batch_4way(fakes)
+                (_, aux_rot), new_d_state = d_fwd(
+                    d_state.params, new_d_state, rot, rng, False
+                )
+                loss = loss + 0.2 * L.ss_rotation_loss(aux_rot["ss_logits"], labels)
+            elif cfg.model == "infomax_gan":
+                loss = loss + 0.2 * L.infonce_loss(
+                    aux_f["local_proj"], aux_f["global_proj"]
+                )
+            return loss, (new_g_state, new_d_state)
+
+        (loss, (new_g_collections, new_d_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_state.params)
+        updates, new_opt = tx_g.update(grads, g_state.opt_state, g_state.params)
+        new_params = optax.apply_updates(g_state.params, updates)
+        new_g = NetState(new_params, new_g_collections, new_opt, g_state.step + 1)
+        new_d = NetState(d_state.params, new_d_state, d_state.opt_state, d_state.step)
+        return new_g, new_d, {"errG": loss}
+
+    def fused_step(g_state, d_state, d_drs_state, images, drs_images,
+                   log_weights, key, global_step):
+        """One reference-equivalent training step (n_dis D upd + 1 G upd)."""
+        gold_active = jnp.logical_and(cfg.gold, global_step >= cfg.gold_step)
+        topk_rate = (
+            L.topk_rate_at(global_step, cfg.epoch_steps) if cfg.topk else 1.0
+        )
+        metrics = {}
+        for i in range(cfg.n_dis):
+            k_iter = jax.random.fold_in(key, i)
+            k_idx, k_z, k_rng, k_didx, k_dz, k_gz = jax.random.split(k_iter, 6)
+            idx = _sample_idx(k_idx, num_data, log_weights, (cfg.batch_size,))
+            real = _gather(images, idx, cfg.quantized)
+            z = jax.random.normal(k_z, (cfg.batch_size, cfg.nz))
+            d_state, d_metrics = d_step(
+                d_state, tx_d, d_fwd, cfg.loss_type, g_state, real, z, k_rng,
+                gold_active,
+            )
+            if cfg.use_drs:
+                didx = sample_uniform_indices(k_didx, drs_num_data, (cfg.batch_size,))
+                drs_real = _gather(drs_images, didx, cfg.quantized)
+                dz = jax.random.normal(k_dz, (cfg.batch_size, cfg.nz))
+                d_drs_state, drs_metrics = d_step(
+                    d_drs_state, tx_d_drs, d_drs_fwd, cfg.drs_loss_type,
+                    g_state, drs_real, dz, k_rng, jnp.asarray(False),
+                )
+                metrics["errD_drs"] = drs_metrics["errD"]
+            if i == cfg.n_dis - 1:
+                gz = jax.random.normal(k_gz, (cfg.batch_size, cfg.nz))
+                g_state, d_state, g_metrics = g_step(
+                    g_state, d_state, gz, k_rng, topk_rate
+                )
+                metrics.update(g_metrics)
+            metrics.update(d_metrics)
+        if cfg.topk:
+            metrics["topk_rate"] = topk_rate
+        return g_state, d_state, d_drs_state, metrics
+
+    return fused_step
+
+
+def make_train_chunk(fused_step, chunk_size: int, donate=True):
+    """Scan `chunk_size` fused steps in one jitted call.
+
+    Host round-trips (metric readout, step bookkeeping) amortize over the
+    chunk; metrics are returned stacked [chunk_size, ...].
+    """
+
+    def chunk(g_state, d_state, d_drs_state, images, drs_images, log_weights,
+              key, start_step):
+        def body(carry, step_offset):
+            g, d, ddrs = carry
+            step = start_step + step_offset
+            k = jax.random.fold_in(key, step_offset)
+            g, d, ddrs, metrics = fused_step(
+                g, d, ddrs, images, drs_images, log_weights, k, step
+            )
+            return (g, d, ddrs), metrics
+
+        (g_state, d_state, d_drs_state), metrics = jax.lax.scan(
+            body, (g_state, d_state, d_drs_state),
+            jnp.arange(chunk_size, dtype=jnp.int32),
+        )
+        return g_state, d_state, d_drs_state, metrics
+
+    return jax.jit(chunk, donate_argnums=(0, 1, 2) if donate else ())

@@ -1,0 +1,330 @@
+"""LogTrainer — the reference's central training loop, rebuilt TPU-first.
+
+Behavioral parity with reference diagan-pkg/diagan/trainer/trainer.py:
+  - n_dis D updates per G update; DRS discriminator trained in lock-step on
+    its own unweighted stream (trainer.py:250-291),
+  - linear LR decay to zero over num_steps (scheduler.py:40-78),
+  - per-example logit recording every `logit_save_steps` inside
+    [save_logit_after, stop_save_logit_after] — phase 2 records netD_drs
+    (trainer.py:328-340); pickles `logits_{name}_{mode}.pkl` at each
+    checkpoint (trainer.py:138-140,342-346),
+  - checkpoints every save_steps under checkpoints/{netG,netD,netD_drs}/
+    with `{name}_{step}_steps.pth` filenames (trainer.py:188-204),
+  - GOLD activation at gold_step, top-k decay per epoch, same scalar names.
+
+TPU-native differences: the hot loop runs in jitted chunks (lax.scan of
+fused steps — steps.py) with on-device weighted sampling, so the host only
+wakes at logging/recording/checkpoint boundaries; KeyboardInterrupt and
+SIGTERM (TPU preemption) both flush checkpoints + logit pickles.
+"""
+from __future__ import annotations
+
+import math
+import signal
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diagan_tpu.data.pipeline import DeviceDataSource
+from diagan_tpu.data.sampler import log_weights_from_scores
+from diagan_tpu.train import checkpoint as ckpt
+from diagan_tpu.train.logger import Logger
+from diagan_tpu.train.logit_recorder import LogitRecorder
+from diagan_tpu.train.state import create_net_state, linear_decay_schedule, NetState
+from diagan_tpu.train.steps import StepConfig, make_fused_step, make_train_chunk
+
+import optax
+
+
+def _make_tx(lr, betas, num_steps, decay, updates_per_step=1):
+    """Adam whose schedule is driven by *global* step parity: the reference
+    decays all optimizers by global_step (scheduler.py:80-106), while optax
+    counts update() calls — D updates n_dis times per global step, so the
+    schedule divides the count back."""
+    if decay == "linear" and num_steps:
+        base = linear_decay_schedule(lr, num_steps)
+        sched = lambda count: base(count / updates_per_step)  # noqa: E731
+    else:
+        sched = lr
+    return optax.adam(sched, b1=betas[0], b2=betas[1], eps=1e-8)
+
+
+class LogTrainer:
+    def __init__(
+        self,
+        output_path,
+        bundle,
+        dataset,
+        num_steps,
+        sample_weights=None,
+        dataset_drs=None,
+        log_dir=None,
+        n_dis=1,
+        lr_decay=None,
+        batch_size=64,
+        netG_ckpt_file=None,
+        netD_ckpt_file=None,
+        netD_drs_ckpt_file=None,
+        print_steps=10,
+        vis_steps=500,
+        log_steps=50,
+        save_steps=5000,
+        logit_save_steps=500,
+        save_logits=True,
+        topk=False,
+        gold=False,
+        gold_step=None,
+        save_logit_after=0,
+        stop_save_logit_after=100000,
+        save_eval_logits=True,
+        seed=0,
+        weight_eps=1e-6,
+    ):
+        self.output_path = Path(output_path)
+        self.log_dir = Path(log_dir or output_path)
+        self.bundle = bundle
+        self.num_steps = num_steps
+        self.n_dis = n_dis
+        self.batch_size = batch_size
+        self.print_steps = print_steps
+        self.vis_steps = vis_steps
+        self.log_steps = log_steps
+        self.save_steps = save_steps
+        self.logit_save_steps = logit_save_steps
+        self.save_logits = save_logits
+        self.save_logit_after = save_logit_after
+        self.stop_save_logit_after = stop_save_logit_after
+        self.save_eval_logits = save_eval_logits
+        self.gold = gold
+        self.gold_step = gold_step if gold_step is not None else 0
+        self.topk = topk
+        self.train_drs = bundle.disc_drs is not None
+        self.seed = seed
+        self.key = jax.random.key(seed)
+
+        # ---- data (device-resident) -------------------------------------
+        self.source = DeviceDataSource(dataset, weights=sample_weights, eps=weight_eps)
+        self.source_drs = (
+            DeviceDataSource(dataset_drs or dataset) if self.train_drs else None
+        )
+        self.num_data = len(dataset)
+        self.epoch_steps = max(1, self.num_data // batch_size)
+
+        # ---- optimizers (global-step schedule parity) -------------------
+        self.tx_g = _make_tx(bundle.opt_g.lr, bundle.opt_g.betas, num_steps,
+                             lr_decay, 1)
+        self.tx_d = _make_tx(bundle.opt_d.lr, bundle.opt_d.betas, num_steps,
+                             lr_decay, n_dis)
+        self.tx_d_drs = (
+            _make_tx(bundle.opt_d_drs.lr, bundle.opt_d_drs.betas, num_steps,
+                     lr_decay, n_dis)
+            if self.train_drs else None
+        )
+        self._lr_sched = (
+            linear_decay_schedule(bundle.opt_d.lr, num_steps)
+            if lr_decay == "linear" else (lambda s: bundle.opt_d.lr)
+        )
+
+        # ---- init states -------------------------------------------------
+        k_g, k_d, k_dd, k_drop = jax.random.split(self.key, 4)
+        z0 = jnp.zeros((2, bundle.nz))
+        if bundle.dataset == "25gaussian":
+            x0 = jnp.zeros((2, 2))
+        else:
+            x0 = jnp.zeros((2, bundle.image_size, bundle.image_size, bundle.nc))
+        self.g_state = create_net_state(
+            bundle.gen, {"params": k_g}, (z0,), self.tx_g, train=True
+        )
+        self.d_state = create_net_state(
+            bundle.disc, {"params": k_d, "dropout": k_drop}, (x0,), self.tx_d
+        )
+        self.d_drs_state = (
+            create_net_state(
+                bundle.disc_drs, {"params": k_dd, "dropout": k_drop}, (x0,),
+                self.tx_d_drs,
+            )
+            if self.train_drs else None
+        )
+
+        # ---- restore (phase-2: G/D from phase-1, D_drs from netD ckpt) --
+        self.global_step = 0
+        if netG_ckpt_file:
+            self.g_state = ckpt.restore_net(self.g_state, netG_ckpt_file)
+            self.global_step = max(self.global_step, int(self.g_state.step))
+        if netD_ckpt_file:
+            self.d_state = ckpt.restore_net(self.d_state, netD_ckpt_file)
+            self.global_step = max(
+                self.global_step, int(self.d_state.step) // max(1, n_dis)
+            )
+        if netD_drs_ckpt_file and self.train_drs:
+            # clone of netD's phase-1 weights (train_mimicry_phase2.py:98-101)
+            self.d_drs_state = ckpt.restore_net(self.d_drs_state, netD_drs_ckpt_file)
+
+        # ---- fused step + chunk -----------------------------------------
+        cfg = StepConfig(
+            n_dis=n_dis,
+            batch_size=batch_size,
+            nz=bundle.nz,
+            loss_type=bundle.loss_type,
+            drs_loss_type=bundle.drs_loss_type,
+            model=bundle.model,
+            gold=gold,
+            gold_step=self.gold_step,
+            topk=topk,
+            epoch_steps=self.epoch_steps,
+            use_drs=self.train_drs,
+            quantized=self.source._quantized,
+        )
+        self.cfg = cfg
+        self.fused_step = make_fused_step(
+            bundle.gen, bundle.disc, bundle.disc_drs,
+            self.tx_g, self.tx_d, self.tx_d_drs, cfg,
+            self.num_data, self.source_drs.num_data if self.train_drs else 1,
+        )
+        self._chunks = {}  # chunk_size -> jitted program
+
+        # ---- logit recorder ---------------------------------------------
+        n_snaps = (
+            (stop_save_logit_after - save_logit_after) // max(1, logit_save_steps)
+            + 2
+        )
+        self.recorder = LogitRecorder(self.num_data, max(n_snaps, 2))
+        self._record_fwd = None
+        self.logger = Logger(self.log_dir)
+
+        # sample-grid latents fixed across training (mimicry-style)
+        self._vis_z = jax.random.normal(jax.random.key(seed + 1), (64, bundle.nz))
+
+    # ------------------------------------------------------------------
+    def _chunk_fn(self, size):
+        if size not in self._chunks:
+            self._chunks[size] = make_train_chunk(self.fused_step, size)
+        return self._chunks[size]
+
+    def _next_boundary(self, step):
+        nxt = self.num_steps
+        for period in (self.log_steps, self.print_steps, self.vis_steps,
+                       self.save_steps, self.logit_save_steps):
+            nxt = min(nxt, (step // period + 1) * period)
+        return nxt
+
+    def _logit_window(self, step):
+        return (
+            self.save_logits
+            and step % self.logit_save_steps == 0
+            and self.save_logit_after <= step <= self.stop_save_logit_after
+        )
+
+    def _record_logits(self, step):
+        if self.train_drs:
+            d_state, name, dmod = self.d_drs_state, "netD_drs", self.bundle.disc_drs
+        else:
+            d_state, name, dmod = self.d_state, "netD", self.bundle.disc
+        mode = "eval" if self.save_eval_logits else "train"
+        if self._record_fwd is None:
+            drop_key = jax.random.key(self.seed + 2)
+
+            def fwd(params, state, batch):
+                out = dmod.apply(
+                    {"params": params, **state}, batch,
+                    update_stats=False, train=mode == "train",
+                    rngs={"dropout": drop_key},
+                )
+                return out, state
+
+            self._record_fwd = fwd
+            self._record_name = f"{name}_{mode}"
+        self.recorder.record(
+            self._record_fwd, d_state.params, d_state.state,
+            self.source.images, step, quantized=self.source._quantized,
+        )
+
+    def _save_checkpoints(self, step):
+        ckpt.save_net(self.g_state, self.log_dir / "checkpoints", "netG", step)
+        ckpt.save_net(self.d_state, self.log_dir / "checkpoints", "netD", step)
+        if self.train_drs:
+            ckpt.save_net(
+                self.d_drs_state, self.log_dir / "checkpoints", "netD_drs", step
+            )
+
+    def _save_logit_pickles(self):
+        if self.recorder.count:
+            self.recorder.save(
+                self.output_path / f"logits_{self._record_name}.pkl"
+            )
+
+    def generate_images(self, z=None, n=64):
+        z = self._vis_z[:n] if z is None else z
+        return self.bundle.gen.apply(
+            {"params": self.g_state.params, **self.g_state.state}, z, train=False
+        )
+
+    # ------------------------------------------------------------------
+    def train(self):
+        step = self.global_step
+        print(f"INFO: Starting training from global step {step}...")
+        log_weights = self.source.log_weights
+        drs_images = (
+            self.source_drs.images if self.train_drs else self.source.images
+        )
+
+        interrupted = {"flag": False}
+
+        def _on_sigterm(signum, frame):  # TPU preemption -> flush state
+            interrupted["flag"] = True
+
+        old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        start_time = time.time()
+        try:
+            while step < self.num_steps and not interrupted["flag"]:
+                boundary = self._next_boundary(step)
+                size = boundary - step
+                chunk = self._chunk_fn(size)
+                key = jax.random.fold_in(self.key, step)
+                (self.g_state, self.d_state, self.d_drs_state, metrics) = chunk(
+                    self.g_state, self.d_state, self.d_drs_state,
+                    self.source.images, drs_images, log_weights, key,
+                    jnp.asarray(step, jnp.int32),
+                )
+                step = boundary
+                last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+                last["lr_D"] = float(self._lr_sched(step))
+
+                if step % self.log_steps == 0:
+                    self.logger.write_scalars(step, last)
+                if step % self.print_steps == 0:
+                    now = time.time()
+                    self.logger.print_log(
+                        step, self.num_steps, last,
+                        (now - start_time) / max(1, size),
+                    )
+                    start_time = now
+                if step % self.vis_steps == 0 and self.bundle.image_size:
+                    self.logger.vis_images(step, self.generate_images())
+                if self._logit_window(step):
+                    print(f"INFO: logit saving at step {step}...")
+                    self._record_logits(step)
+                if step % self.save_steps == 0:
+                    print("INFO: Saving checkpoints...")
+                    self._save_checkpoints(step)
+                    if self.save_logits and step >= self.save_logit_after:
+                        self._save_logit_pickles()
+
+            print("INFO: Saving final checkpoints...")
+            self._save_checkpoints(step)
+            if self.save_logits and step >= self.save_logit_after:
+                self._save_logit_pickles()
+        except KeyboardInterrupt:
+            print("INFO: Saving checkpoints from keyboard interrupt...")
+            self._save_checkpoints(step)
+            if self.save_logits and step >= self.save_logit_after:
+                self._save_logit_pickles()
+        finally:
+            signal.signal(signal.SIGTERM, old_handler)
+            self.logger.close()
+        self.global_step = step
+        print("INFO: Training Ended.")
+        return self

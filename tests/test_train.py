@@ -1,0 +1,132 @@
+"""End-to-end trainer tests (tiny configs, CPU)."""
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diagan_tpu.data import get_predefined_dataset
+from diagan_tpu.models import get_gan_model
+from diagan_tpu.score import calculate_scores
+from diagan_tpu.train import LogTrainer
+from diagan_tpu.train.logit_recorder import LogitRecorder
+from diagan_tpu.train import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return get_predefined_dataset(
+        "color_mnist", root, major_ratio=0.9, num_data=64, seed=0
+    )
+
+
+def _make_trainer(out, ds, **kw):
+    bundle = kw.pop("bundle", None) or get_gan_model(
+        "color_mnist", loss_type="ns", drs=kw.pop("drs", False),
+        gold=kw.get("gold", False), topk=kw.get("topk", False),
+    )
+    defaults = dict(
+        output_path=out, bundle=bundle, dataset=ds, num_steps=8,
+        n_dis=1, lr_decay="linear", batch_size=8, print_steps=4,
+        vis_steps=8, log_steps=4, save_steps=8, logit_save_steps=4,
+        save_logit_after=4, stop_save_logit_after=8, save_logits=True, seed=0,
+    )
+    defaults.update(kw)
+    return LogTrainer(**defaults)
+
+
+def test_phase1_artifacts(tmp_path, tiny_dataset):
+    tr = _make_trainer(tmp_path, tiny_dataset)
+    tr.train()
+    # reference-format logit pickle
+    logits = pickle.load(open(tmp_path / "logits_netD_eval.pkl", "rb"))
+    assert sorted(logits) == [4, 8]
+    assert logits[8].shape == (64,) and logits[8].dtype == np.float64
+    # reference-layout checkpoints
+    assert (tmp_path / "checkpoints/netG/netG_8_steps.pth").is_file()
+    assert (tmp_path / "checkpoints/netD/netD_8_steps.pth").is_file()
+    # scores computable from the recorded window
+    sc = calculate_scores(logits, start_epoch=0, end_epoch=9)
+    assert sc["ldrm"].shape == (64,)
+
+
+def test_checkpoint_restore_roundtrip(tmp_path, tiny_dataset):
+    tr = _make_trainer(tmp_path / "a", tiny_dataset)
+    tr.train()
+    g_file = tmp_path / "a" / "checkpoints/netG/netG_8_steps.pth"
+    tr2 = _make_trainer(
+        tmp_path / "b", tiny_dataset,
+        netG_ckpt_file=str(g_file),
+        netD_ckpt_file=str(tmp_path / "a" / "checkpoints/netD/netD_8_steps.pth"),
+    )
+    # restored params identical
+    a = jnp.concatenate([v.ravel() for v in
+                         __import__("jax").tree.leaves(tr.g_state.params)])
+    b = jnp.concatenate([v.ravel() for v in
+                         __import__("jax").tree.leaves(tr2.g_state.params)])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert tr2.global_step == 8
+
+
+def test_phase2_weighted_with_drs(tmp_path, tiny_dataset):
+    # phase 1
+    tr = _make_trainer(tmp_path / "p1", tiny_dataset)
+    tr.train()
+    logits = pickle.load(open(tmp_path / "p1" / "logits_netD_eval.pkl", "rb"))
+    sc = calculate_scores(logits, start_epoch=0, end_epoch=9)
+    w = sc["ldr_conf_1.0_ratio_50"]
+    # phase 2: weighted resampling + dual discriminator
+    tr2 = _make_trainer(
+        tmp_path / "p2", tiny_dataset, drs=True, sample_weights=w,
+        netG_ckpt_file=str(tmp_path / "p1/checkpoints/netG/netG_8_steps.pth"),
+        netD_ckpt_file=str(tmp_path / "p1/checkpoints/netD/netD_8_steps.pth"),
+        netD_drs_ckpt_file=str(tmp_path / "p1/checkpoints/netD/netD_8_steps.pth"),
+        num_steps=16, save_logit_after=8, stop_save_logit_after=16,
+        save_steps=16,
+    )
+    assert tr2.global_step == 8
+    tr2.train()
+    assert (tmp_path / "p2/checkpoints/netD_drs/netD_drs_16_steps.pth").is_file()
+    # phase-2 recording keys by netD_drs (reference trainer.py:330-340)
+    logits2 = pickle.load(open(tmp_path / "p2" / "logits_netD_drs_eval.pkl", "rb"))
+    assert all(k >= 8 for k in logits2)
+
+
+def test_gold_and_topk_smoke(tmp_path, tiny_dataset):
+    tr = _make_trainer(
+        tmp_path, tiny_dataset, gold=True, topk=True, gold_step=4,
+        save_logits=False,
+    )
+    tr.train()
+    assert tr.global_step == 8
+
+
+def test_ssgan_smoke(tmp_path, tiny_dataset):
+    bundle = get_gan_model("cifar10", model="ssgan", loss_type="hinge")
+    ds32 = tiny_dataset
+    tr = _make_trainer(tmp_path, ds32, bundle=bundle, save_logits=False,
+                       num_steps=2, print_steps=2, vis_steps=2, log_steps=2,
+                       save_steps=2, batch_size=4)
+    tr.train()
+    assert tr.global_step == 2
+
+
+def test_logit_recorder_scatter():
+    N = 37
+    images = np.random.default_rng(0).integers(0, 255, (N, 4, 4, 1), np.uint8)
+    rec = LogitRecorder(N, 2, batch_size=8)
+
+    def fake_d(params, state, batch):
+        return (jnp.mean(batch, axis=(1, 2, 3)), {}), state
+
+    rec.record(fake_d, None, {}, jnp.asarray(images), 7, quantized=True)
+    want = images.reshape(N, -1).mean(1) / 127.5 - 1.0
+    np.testing.assert_allclose(np.asarray(rec.buffer[0]), want, atol=1e-5)
+    d = rec.as_dict()
+    assert list(d) == [7] and d[7].dtype == np.float64
+    # state_dict roundtrip (mid-window preemption recovery)
+    rec2 = LogitRecorder(N, 2, batch_size=8)
+    rec2.load_state_dict(rec.state_dict())
+    assert rec2.count == 1
+    np.testing.assert_allclose(np.asarray(rec2.buffer), np.asarray(rec.buffer))
