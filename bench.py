@@ -1,0 +1,93 @@
+"""Headline benchmark: SNGAN CIFAR-10 training throughput (steps/sec/chip).
+
+One reference-equivalent step = 5 discriminator updates + 1 generator
+update at batch 64 (the CIFAR-10 phase-1 config, reference
+train_mimicry_phase1.py:88-92) — measured on the fused jitted train loop
+with on-device data.
+
+vs_baseline uses an estimated 8.0 steps/sec for the reference PyTorch
+stack on one A100 (torch-mimicry SNGAN-32, per-step Python loop with
+host-side dataloading; no number is published in the repo — BASELINE.md).
+The driver-defined target is vs_baseline >= 5.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_STEPS_PER_SEC_A100 = 8.0
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from diagan_tpu.data.arrays import ArrayDataset
+    from diagan_tpu.data.pipeline import DeviceDataSource
+    from diagan_tpu.models import get_gan_model
+    from diagan_tpu.train.state import create_net_state
+    from diagan_tpu.train.steps import StepConfig, make_fused_step, make_train_chunk
+    from diagan_tpu.train.trainer import _make_tx
+
+    n_dis, batch_size, num_steps = 5, 64, 50000
+    bundle = get_gan_model("cifar10", model="sngan", loss_type="hinge")
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset.from_images(
+        rng.integers(0, 255, (50000, 32, 32, 3), dtype=np.uint8)
+    )
+    src = DeviceDataSource(ds)
+
+    tx_g = _make_tx(bundle.opt_g.lr, bundle.opt_g.betas, num_steps, "linear", 1)
+    tx_d = _make_tx(bundle.opt_d.lr, bundle.opt_d.betas, num_steps, "linear", n_dis)
+    cfg = StepConfig(
+        n_dis=n_dis, batch_size=batch_size, nz=bundle.nz,
+        loss_type="hinge", drs_loss_type="ns", model="sngan",
+        gold=False, gold_step=0, topk=False,
+        epoch_steps=len(ds) // batch_size, use_drs=False, quantized=True,
+    )
+    k = jax.random.key(0)
+    z0 = jnp.zeros((2, bundle.nz))
+    x0 = jnp.zeros((2, 32, 32, 3))
+    g_state = create_net_state(bundle.gen, {"params": k}, (z0,), tx_g, train=True)
+    d_state = create_net_state(bundle.disc, {"params": k, "dropout": k}, (x0,), tx_d)
+    fused = make_fused_step(
+        bundle.gen, bundle.disc, None, tx_g, tx_d, None, cfg, len(ds), 1
+    )
+    CHUNK = 50
+    chunk = make_train_chunk(fused, CHUNK, donate=True)
+
+    def run(g, d, start):
+        return chunk(g, d, None, src.images, src.images, None,
+                     jax.random.fold_in(k, start), jnp.int32(start))
+
+    # warmup/compile. NB: np.asarray (device->host transfer) is the sync
+    # point — block_until_ready does not reliably block on this platform.
+    g_state, d_state, _, m = run(g_state, d_state, 0)
+    np.asarray(m["errD"])
+
+    # timed: 4 chunks = 200 steps
+    n_chunks = 4
+    t0 = time.perf_counter()
+    for i in range(1, n_chunks + 1):
+        g_state, d_state, _, m = run(g_state, d_state, i * CHUNK)
+    np.asarray(m["errD"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_chunks * CHUNK / dt
+
+    print(json.dumps({
+        "metric": "sngan_cifar10_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec (1 step = 5 D upd + 1 G upd, batch 64)",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_A100, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

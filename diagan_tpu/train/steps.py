@@ -47,6 +47,7 @@ class StepConfig(NamedTuple):
     epoch_steps: int    # dataset batches per epoch, for top-k decay
     use_drs: bool
     quantized: bool     # uint8 image gather needs dequantize
+    axis_name: str | None = None  # data-parallel mesh axis (shard_map)
 
 
 def _gather(images, idx, quantized):
@@ -144,6 +145,10 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
         (loss, (new_state, lr_, lf_)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(d_state.params)
+        if cfg.axis_name:
+            # data-parallel gradient reduction over ICI (the NCCL-allreduce
+            # equivalent; reference stylegan2/distributed.py + DDP)
+            grads = jax.lax.pmean(grads, cfg.axis_name)
         updates, new_opt = tx.update(grads, d_state.opt_state, d_state.params)
         new_params = optax.apply_updates(d_state.params, updates)
         return (
@@ -177,6 +182,8 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
         (loss, (new_g_collections, new_d_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(g_state.params)
+        if cfg.axis_name:
+            grads = jax.lax.pmean(grads, cfg.axis_name)
         updates, new_opt = tx_g.update(grads, g_state.opt_state, g_state.params)
         new_params = optax.apply_updates(g_state.params, updates)
         new_g = NetState(new_params, new_g_collections, new_opt, g_state.step + 1)
@@ -186,6 +193,13 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
     def fused_step(g_state, d_state, d_drs_state, images, drs_images,
                    log_weights, key, global_step):
         """One reference-equivalent training step (n_dis D upd + 1 G upd)."""
+        if cfg.axis_name:
+            # disjoint per-device index/latent streams: fold the mesh
+            # coordinate into the key. Weighted resampling thus composes
+            # with data parallelism — fixing the reference bug where
+            # DistributedSampler silently dropped the score weights
+            # (stylegan2/train_ffhq_phase2.py:35-45).
+            key = jax.random.fold_in(key, jax.lax.axis_index(cfg.axis_name))
         gold_active = jnp.logical_and(cfg.gold, global_step >= cfg.gold_step)
         topk_rate = (
             L.topk_rate_at(global_step, cfg.epoch_steps) if cfg.topk else 1.0

@@ -1,0 +1,81 @@
+"""Data-parallel mesh tests on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diagan_tpu.data import get_predefined_dataset
+from diagan_tpu.data.pipeline import DeviceDataSource
+from diagan_tpu.models import get_gan_model
+from diagan_tpu.parallel import make_mesh, make_sharded_train_chunk, replicate
+from diagan_tpu.train.state import create_net_state
+from diagan_tpu.train.steps import StepConfig, make_fused_step
+from diagan_tpu.train.trainer import _make_tx
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def _setup(tmp_path, mesh, per_device_bs=2):
+    ds = get_predefined_dataset(
+        "color_mnist", tmp_path, major_ratio=0.9, num_data=64, seed=0
+    )
+    bundle = get_gan_model("color_mnist", loss_type="ns", drs=True)
+    tx_g = _make_tx(1e-4, (0.5, 0.9), 100, "linear", 1)
+    tx_d = _make_tx(1e-4, (0.5, 0.9), 100, "linear", 1)
+    cfg = StepConfig(
+        n_dis=1, batch_size=per_device_bs, nz=bundle.nz,
+        loss_type="ns", drs_loss_type="ns", model="dcgan",
+        gold=False, gold_step=0, topk=False, epoch_steps=8,
+        use_drs=True, quantized=True, axis_name="data",
+    )
+    k = jax.random.key(0)
+    z0 = jnp.zeros((2, bundle.nz))
+    x0 = jnp.zeros((2, 32, 32, 3))
+    g_state = create_net_state(bundle.gen, {"params": k}, (z0,), tx_g, train=True)
+    d_state = create_net_state(
+        bundle.disc, {"params": k, "dropout": k}, (x0,), tx_d
+    )
+    dd_state = create_net_state(
+        bundle.disc_drs, {"params": k, "dropout": k}, (x0,), tx_d
+    )
+    fused = make_fused_step(
+        bundle.gen, bundle.disc, bundle.disc_drs, tx_g, tx_d, tx_d, cfg,
+        len(ds), len(ds),
+    )
+    src = DeviceDataSource(ds)
+    return g_state, d_state, dd_state, fused, src
+
+
+def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
+    g, d, dd, fused, src = _setup(tmp_path, mesh)
+    chunk = make_sharded_train_chunk(fused, 2, mesh, donate=False)
+    images = replicate(src.images, mesh)
+    g, d, dd, metrics = chunk(
+        replicate(g, mesh), replicate(d, mesh), replicate(dd, mesh),
+        images, images, None, jax.random.key(1), jnp.int32(0),
+    )
+    assert metrics["errD"].shape == (2,)
+    assert np.isfinite(np.asarray(metrics["errD"])).all()
+    assert np.isfinite(np.asarray(metrics["errG"])).all()
+    # params must remain identical across replicas (pmean'd grads)
+    leaf = jax.tree.leaves(g.params)[0]
+    per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for arr in per_dev[1:]:
+        np.testing.assert_array_equal(arr, per_dev[0])
+
+
+def test_sharded_matches_single_device_structure(tmp_path, mesh):
+    # grad-pmean path must not change pytree structure vs single-device
+    g, d, dd, fused, src = _setup(tmp_path, mesh)
+    chunk = make_sharded_train_chunk(fused, 1, mesh, donate=False)
+    g2, d2, dd2, _ = chunk(
+        replicate(g, mesh), replicate(d, mesh), replicate(dd, mesh),
+        replicate(src.images, mesh), replicate(src.images, mesh), None,
+        jax.random.key(2), jnp.int32(0),
+    )
+    assert jax.tree.structure(g2.params) == jax.tree.structure(g.params)
+    assert int(g2.step) == int(g.step) + 1
