@@ -1,0 +1,196 @@
+"""Checkpoint evaluation drivers — the reference's evaluate_* surface.
+
+Parity with reference diagan-pkg/diagan/trainer/evaluate.py:97-1700: resolve
+`checkpoints/netG/netG_{step}_steps.pth` (+ netD_drs, or netD with
+use_original_netD — evaluate.py:190-244), optionally wrap G in DRS, loop
+over seeds, and write metric JSONs incrementally under
+`{log_dir}/evaluate/step-{step}/{metric}_{nr}k_{nf}k.json`
+(evaluate.py:143-183,299-301).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diagan_tpu.eval import metrics as M
+from diagan_tpu.eval.drs import DRS
+from diagan_tpu.eval.inception import InceptionFeaturizer
+from diagan_tpu.train import checkpoint as ckpt
+from diagan_tpu.train.state import create_net_state
+from diagan_tpu.train.trainer import _make_tx
+
+
+def _init_states(bundle, seed=0):
+    tx = _make_tx(2e-4, (0.0, 0.9), None, None)
+    k = jax.random.key(seed)
+    z0 = jnp.zeros((2, bundle.nz))
+    if bundle.dataset == "25gaussian":
+        x0 = jnp.zeros((2, 2))
+    else:
+        x0 = jnp.zeros((2, bundle.image_size, bundle.image_size, bundle.nc))
+    g = create_net_state(bundle.gen, {"params": k}, (z0,), tx, train=True)
+    d = create_net_state(bundle.disc, {"params": k, "dropout": k}, (x0,), tx)
+    d_drs = (
+        create_net_state(bundle.disc_drs, {"params": k, "dropout": k}, (x0,), tx)
+        if bundle.disc_drs is not None else None
+    )
+    return g, d, d_drs
+
+
+def make_gen_fn(bundle, g_state):
+    """Jitted eval-mode z -> images closure."""
+
+    @jax.jit
+    def gen_fn(z):
+        return bundle.gen.apply(
+            {"params": g_state.params, **g_state.state}, z, train=False
+        )
+
+    return gen_fn
+
+
+def make_disc_fn(disc, d_state):
+    key = jax.random.key(0)
+
+    @jax.jit
+    def disc_fn(x):
+        out = disc.apply(
+            {"params": d_state.params, **d_state.state}, x,
+            update_stats=False, train=False, rngs={"dropout": key},
+        )
+        return out[0] if isinstance(out, tuple) else out
+
+    return disc_fn
+
+
+class Sampler:
+    """Plain batched G sampler (the non-DRS path)."""
+
+    def __init__(self, gen_fn, nz, key=None, batch_size=256):
+        self.gen_fn = gen_fn
+        self.nz = nz
+        self.batch_size = batch_size
+        self.key = key if key is not None else jax.random.key(0)
+
+    def generate_images(self, num_images):
+        out = []
+        n = 0
+        while n < num_images:
+            self.key, sub = jax.random.split(self.key)
+            z = jax.random.normal(sub, (self.batch_size, self.nz))
+            imgs = np.asarray(self.gen_fn(z))
+            out.append(imgs)
+            n += len(imgs)
+        return np.concatenate(out)[:num_images]
+
+
+def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
+                     use_original_netD=False, netD_ckpt_dir=None):
+    """Restore G (and the DRS discriminator) at a step. Returns
+    (g_state, d_drs_state_or_None)."""
+    log_dir = Path(log_dir)
+    g_state, d_state, d_drs_state = _init_states(bundle)
+    g_path = log_dir / "checkpoints" / "netG" / f"netG_{evaluate_step}_steps.pth"
+    assert g_path.is_file(), f"missing {g_path}"
+    g_state = ckpt.restore_net(g_state, g_path)
+    if not use_drs:
+        return g_state, None
+    # --use_original_netD evaluates a phase-1 model's own D under DRS
+    # (reference eval_gan_drs.py:28, evaluate.py:190-196)
+    name = "netD" if use_original_netD else "netD_drs"
+    d_dir = Path(netD_ckpt_dir) if netD_ckpt_dir else log_dir / "checkpoints"
+    d_path = d_dir / name / f"{name}_{evaluate_step}_steps.pth"
+    assert d_path.is_file(), f"missing {d_path}"
+    d_drs_state = ckpt.restore_net(d_drs_state or d_state, d_path)
+    return g_state, d_drs_state
+
+
+def evaluate_checkpoint(
+    metric,
+    bundle,
+    log_dir,
+    evaluate_step,
+    real_images=None,
+    stats_file=None,
+    num_real_samples=50000,
+    num_fake_samples=50000,
+    num_runs=1,
+    start_seed=0,
+    use_drs=False,
+    use_original_netD=False,
+    featurizer=None,
+    batch_size=256,
+    real_subset_index=None,
+    overwrite=False,
+):
+    """Compute `metric` ('fid' | 'inception_score' | 'kid' | 'pr') for one
+    checkpoint step across seeds; write/extend the reference-layout JSON."""
+    log_dir = Path(log_dir)
+    g_state, d_drs_state = load_eval_models(
+        bundle, log_dir, evaluate_step, use_drs, use_original_netD
+    )
+    gen_fn = make_gen_fn(bundle, g_state)
+    featurizer = featurizer or InceptionFeaturizer()
+
+    out_dir = log_dir / "evaluate" / f"step-{evaluate_step}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    nr = num_real_samples // 1000
+    nf = num_fake_samples // 1000
+    suffix = {"fid": f"_{nr}k_{nf}k", "kid": f"_{nr}k_{nf}k",
+              "inception_score": f"_{nf}k", "pr": f"_{nr}k_{nf}k"}[metric]
+    out_file = out_dir / f"{metric}{suffix}.json"
+    results = (
+        json.loads(out_file.read_text()) if out_file.is_file() and not overwrite
+        else {"metric": metric, "scores": {}}
+    )
+    results["inception_weights"] = featurizer.weights_kind
+    results["use_drs"] = use_drs
+
+    # real-side features once (shared across seeds)
+    real_feats = None
+    if metric in ("fid", "kid", "pr") and stats_file is None:
+        assert real_images is not None, "need real_images or stats_file"
+        sel = real_images
+        if real_subset_index is not None:
+            sel = real_images[np.asarray(real_subset_index)]
+        if len(sel) > num_real_samples:
+            rng = np.random.default_rng(start_seed)
+            sel = sel[rng.choice(len(sel), num_real_samples, replace=False)]
+        real_feats = featurizer.features(sel)
+
+    for run in range(num_runs):
+        seed = start_seed + run
+        if str(seed) in results["scores"] and not overwrite:
+            continue
+        key = jax.random.key(seed)
+        if use_drs:
+            disc_fn = make_disc_fn(
+                bundle.disc_drs or bundle.disc, d_drs_state
+            )
+            sampler = DRS(gen_fn, disc_fn, bundle.nz, key=key,
+                          batch_size=batch_size)
+        else:
+            sampler = Sampler(gen_fn, bundle.nz, key=key, batch_size=batch_size)
+        fakes = sampler.generate_images(num_fake_samples)
+        fakes_u8 = M.normalize_images(fakes)  # reference fid_score.py:77-101
+        feats, logits = featurizer.features_and_logits(fakes_u8)
+
+        if metric == "fid":
+            score = M.fid_from_features(real_feats, feats, stats_file=stats_file)
+        elif metric == "kid":
+            score = M.kid_from_features(real_feats, feats)[0]
+        elif metric == "inception_score":
+            score = M.inception_score_from_logits(logits)[0]
+        elif metric == "pr":
+            score = M.compute_pr(real_feats, feats, nearest_k=3)
+        else:
+            raise ValueError(metric)
+        results["scores"][str(seed)] = score
+        out_file.write_text(json.dumps(results, indent=2))
+        print(f"INFO: {metric} (step {evaluate_step}, seed {seed}) = {score}")
+
+    return results
