@@ -125,6 +125,7 @@ def evaluate_checkpoint(
     featurizer=None,
     batch_size=256,
     real_subset_index=None,
+    name=None,
     overwrite=False,
 ):
     """Compute `metric` ('fid' | 'inception_score' | 'kid' | 'pr') for one
@@ -142,7 +143,8 @@ def evaluate_checkpoint(
     nf = num_fake_samples // 1000
     suffix = {"fid": f"_{nr}k_{nf}k", "kid": f"_{nr}k_{nf}k",
               "inception_score": f"_{nf}k", "pr": f"_{nr}k_{nf}k"}[metric]
-    out_file = out_dir / f"{metric}{suffix}.json"
+    stem = f"{metric}_{name}" if name else metric
+    out_file = out_dir / f"{stem}{suffix}.json"
     results = (
         json.loads(out_file.read_text()) if out_file.is_file() and not overwrite
         else {"metric": metric, "scores": {}}

@@ -47,13 +47,13 @@ def make_sharded_train_chunk(fused_step, chunk_size: int, mesh: Mesh,
     """
 
     def chunk(g_state, d_state, d_drs_state, images, drs_images, log_weights,
-              key, start_step):
+              key, start_step, aux=None):
         def body(carry, step_offset):
             g, d, ddrs = carry
             step = start_step + step_offset
             k = jax.random.fold_in(key, step_offset)
             g, d, ddrs, metrics = fused_step(
-                g, d, ddrs, images, drs_images, log_weights, k, step
+                g, d, ddrs, images, drs_images, log_weights, k, step, aux
             )
             return (g, d, ddrs), metrics
 
@@ -67,7 +67,7 @@ def make_sharded_train_chunk(fused_step, chunk_size: int, mesh: Mesh,
     sharded = shard_map(
         chunk,
         mesh=mesh,
-        in_specs=(repl,) * 8,
+        in_specs=(repl,) * 9,
         out_specs=(repl, repl, repl, repl),
         check_vma=False,
     )

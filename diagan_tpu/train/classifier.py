@@ -1,0 +1,127 @@
+"""Generic jitted classifier training (bias probes, attribute classifier).
+
+Replaces the torch train/validate loops shared by
+train_color_mnist_feature.py, train_mnist_fmnist_feature.py and
+train_convnet_celeba.py: Adam(1e-3) with MultiStep 0.1 decay at 3/7 and
+6/7 of the epochs, cross-entropy (or per-attribute BCE), top-1 accuracy.
+Each epoch is one jitted lax.scan over shuffled minibatches.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def multistep_lr(base_lr, epochs, steps_per_epoch, gamma=0.1):
+    b1 = (epochs * 3 // 7) * steps_per_epoch
+    b2 = (epochs * 6 // 7) * steps_per_epoch
+    return optax.piecewise_constant_schedule(base_lr, {b1: gamma, b2: gamma})
+
+
+def train_classifier(model, images, labels, epochs=80, batch_size=128,
+                     lr=1e-3, seed=1, multilabel=False, ckpt_path=None,
+                     ckpt_every=10):
+    """images: uint8 NHWC; labels: int64 [N] (or {-1,+1} [N, A] when
+    multilabel). Returns (params, state, history)."""
+    n = len(images)
+    steps_per_epoch = max(1, n // batch_size)
+    tx = optax.adam(multistep_lr(lr, epochs, steps_per_epoch))
+    imgs = jnp.asarray(images)
+    labs = jnp.asarray(labels)
+
+    x0 = jnp.zeros((2,) + images.shape[1:], jnp.float32)
+    variables = model.init({"params": jax.random.key(seed),
+                            "dropout": jax.random.key(seed + 1)}, x0, train=True)
+    params = variables.pop("params")
+    state = variables
+    opt_state = tx.init(params)
+    drop_key = jax.random.key(seed + 2)
+
+    @jax.jit
+    def epoch_fn(params, state, opt_state, perm):
+        def body(carry, idx):
+            params, state, opt_state = carry
+            x = jnp.take(imgs, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
+            y = jnp.take(labs, idx, axis=0)
+
+            def loss_fn(p):
+                (logits, _), new_state = model.apply(
+                    {"params": p, **state}, x, train=True,
+                    mutable=list(state.keys()), rngs={"dropout": drop_key},
+                )
+                if multilabel:
+                    targets = (y > 0).astype(jnp.float32)
+                    loss = jnp.mean(
+                        optax.sigmoid_binary_cross_entropy(logits, targets)
+                    )
+                    acc = jnp.mean(((logits > 0) == (y > 0)).astype(jnp.float32))
+                else:
+                    loss = jnp.mean(
+                        optax.softmax_cross_entropy_with_integer_labels(logits, y)
+                    )
+                    acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+                return loss, (new_state, acc)
+
+            (loss, (new_state, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, acc)
+
+        idxs = perm[: steps_per_epoch * batch_size].reshape(
+            steps_per_epoch, batch_size
+        )
+        (params, state, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, state, opt_state), idxs
+        )
+        return params, state, opt_state, jnp.mean(losses), jnp.mean(accs)
+
+    rng = np.random.default_rng(seed)
+    history = []
+    for epoch in range(1, epochs + 1):
+        perm = jnp.asarray(rng.permutation(n))
+        params, state, opt_state, loss, acc = epoch_fn(
+            params, state, opt_state, perm
+        )
+        history.append({"epoch": epoch, "loss": float(loss), "acc": float(acc)})
+        print(f"[{epoch} / {epochs}] train_acc: {float(acc) * 100:.2f}")
+        if ckpt_path and epoch % ckpt_every == 0:
+            from flax import serialization
+
+            ckpt_path = Path(ckpt_path)
+            ckpt_path.mkdir(parents=True, exist_ok=True)
+            with open(ckpt_path / f"ckpt_{epoch}.pt", "wb") as f:
+                f.write(serialization.to_bytes(
+                    {"params": jax.device_get(params), **jax.device_get(state)}
+                ))
+    return params, state, history
+
+
+def predict_classifier(model, params, state, images, batch_size=256,
+                       seed=0):
+    """Batched eval-mode logits for uint8 NHWC images."""
+    drop_key = jax.random.key(seed)
+
+    @jax.jit
+    def fwd(x):
+        logits, _ = model.apply(
+            {"params": params, **state}, x, train=False,
+            rngs={"dropout": drop_key},
+        )
+        return logits
+
+    out = []
+    images = np.asarray(images)
+    n = len(images)
+    pad = (-n) % batch_size
+    if pad:
+        images = np.concatenate([images, np.zeros_like(images[:pad])])
+    for i in range(0, len(images), batch_size):
+        x = jnp.asarray(images[i : i + batch_size], jnp.float32) / 127.5 - 1.0
+        out.append(np.asarray(fwd(x)))
+    return np.concatenate(out)[:n]

@@ -121,7 +121,10 @@ def _d_loss(cfg: StepConfig, loss_type, logits_real, logits_fake, gold_active):
 
 
 def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
-                    num_data: int, drs_num_data: int):
+                    num_data: int, drs_num_data: int, g_aux_loss=None):
+    """g_aux_loss: optional hook (params, gen_fwd, key, aux, metrics) -> extra
+    generator loss term, given the auxiliary pytree threaded through
+    fused_step (used by Inclusive GAN's reconstruction/interp losses)."""
     gen_fwd, gen_eval, d_fwd, d_drs_fwd = make_apply_fns(gen, disc, disc_drs)
 
     def d_step(d_state: NetState, tx, fwd, loss_type, g_state, real, z, rng,
@@ -156,7 +159,9 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
             {"errD": loss, "D(x)": jnp.mean(lr_), "D(G(z))": jnp.mean(lf_)},
         )
 
-    def g_step(g_state: NetState, d_state: NetState, z, rng, topk_rate):
+    def g_step(g_state: NetState, d_state: NetState, z, rng, topk_rate, aux):
+        aux_metrics = {}
+
         def loss_fn(params):
             fakes, new_g_state = gen_fwd(params, g_state.state, z, rng, mutable=True)
             (lf_, aux_f), new_d_state = d_fwd(
@@ -177,6 +182,8 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
                 loss = loss + 0.2 * L.infonce_loss(
                     aux_f["local_proj"], aux_f["global_proj"]
                 )
+            if g_aux_loss is not None:
+                loss = loss + g_aux_loss(params, gen_fwd, rng, aux, aux_metrics)
             return loss, (new_g_state, new_d_state)
 
         (loss, (new_g_collections, new_d_state)), grads = jax.value_and_grad(
@@ -188,10 +195,10 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
         new_params = optax.apply_updates(g_state.params, updates)
         new_g = NetState(new_params, new_g_collections, new_opt, g_state.step + 1)
         new_d = NetState(d_state.params, new_d_state, d_state.opt_state, d_state.step)
-        return new_g, new_d, {"errG": loss}
+        return new_g, new_d, {"errG": loss, **aux_metrics}
 
     def fused_step(g_state, d_state, d_drs_state, images, drs_images,
-                   log_weights, key, global_step):
+                   log_weights, key, global_step, aux=None):
         """One reference-equivalent training step (n_dis D upd + 1 G upd)."""
         if cfg.axis_name:
             # disjoint per-device index/latent streams: fold the mesh
@@ -227,7 +234,7 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
             if i == cfg.n_dis - 1:
                 gz = jax.random.normal(k_gz, (cfg.batch_size, cfg.nz))
                 g_state, d_state, g_metrics = g_step(
-                    g_state, d_state, gz, k_rng, topk_rate
+                    g_state, d_state, gz, k_rng, topk_rate, aux
                 )
                 metrics.update(g_metrics)
             metrics.update(d_metrics)
@@ -246,13 +253,13 @@ def make_train_chunk(fused_step, chunk_size: int, donate=True):
     """
 
     def chunk(g_state, d_state, d_drs_state, images, drs_images, log_weights,
-              key, start_step):
+              key, start_step, aux=None):
         def body(carry, step_offset):
             g, d, ddrs = carry
             step = start_step + step_offset
             k = jax.random.fold_in(key, step_offset)
             g, d, ddrs, metrics = fused_step(
-                g, d, ddrs, images, drs_images, log_weights, k, step
+                g, d, ddrs, images, drs_images, log_weights, k, step, aux
             )
             return (g, d, ddrs), metrics
 

@@ -1,0 +1,433 @@
+"""StyleGAN2 training loop (FFHQ) — phases 1 and 2.
+
+Behavioral parity with reference stylegan2/train_ffhq.py /
+train_ffhq_phase2.py:
+  - non-saturating logistic losses (:67-86), lazy R1 every d_reg_every=16
+    steps (:246-258; weight 0.1 phase 1 / 10 phase 2), path-length
+    regularization every g_reg_every=4 with batch shrink 2 (:278-297),
+    regularization-ratio-scaled Adam lr/betas (:538-550),
+  - G-EMA with decay 0.5**(32/10000) accumulated every step (:53-58,320),
+  - style mixing with p=0.9 (:114-119),
+  - ADA with adaptive p (non_leaking.py), r1/path carry through,
+  - phase 2: weighted resampling stream + twin drs discriminator trained
+    in the same step from uniform data (train_ffhq_phase2.py:212-244) —
+    here the weights COMPOSE with data parallelism instead of being
+    dropped by DistributedSampler (reference bug, :35-45),
+  - per-example logit recording by dataset index across the mesh,
+  - checkpoint dict {g, d, [drs_d], g_ema, optims, ada_aug_p} every 5k
+    steps named {iter:06d}.pt (:365-379).
+
+TPU design: four jitted step programs (plain / d-reg / g-reg / both) are
+dispatched host-side by step index — grad-of-grad regularizers compile
+once each instead of branching inside one program. EMA is a jnp tree op
+fused into each step.
+"""
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from diagan_tpu.data.sampler import (
+    log_weights_from_scores,
+    sample_uniform_indices,
+    sample_weighted_indices,
+)
+from diagan_tpu.models import losses as L
+from diagan_tpu.models.ada import AdaptiveAugment, augment
+from diagan_tpu.train.state import NetState
+
+EMA_DECAY = 0.5 ** (32 / (10 * 1000))
+
+
+def reg_ratio_adam(lr, reg_every):
+    ratio = reg_every / (reg_every + 1)
+    return optax.adam(lr * ratio, b1=0.0 ** ratio, b2=0.99**ratio)
+
+
+class StyleGAN2Trainer:
+    def __init__(
+        self,
+        output_path,
+        gen,
+        disc,
+        dataset_images,
+        num_steps,
+        drs_disc=None,
+        sample_weights=None,
+        batch_size=16,
+        lr=0.002,
+        r1_weight=10.0,
+        path_regularize=2.0,
+        d_reg_every=16,
+        g_reg_every=4,
+        path_batch_shrink=2,
+        mixing=0.9,
+        augment_p=0.0,  # 0 -> adaptive ADA
+        ada_target=0.6,
+        ada_length=500_000,
+        save_every=5000,
+        log_every=100,
+        logit_save_steps=None,
+        save_logit_after=0,
+        stop_save_logit_after=10**9,
+        seed=0,
+    ):
+        self.output_path = Path(output_path)
+        self.output_path.mkdir(parents=True, exist_ok=True)
+        self.gen = gen
+        self.disc = disc
+        self.drs_disc = drs_disc
+        self.num_steps = num_steps
+        self.batch_size = batch_size
+        self.d_reg_every = d_reg_every
+        self.g_reg_every = g_reg_every
+        self.path_batch_shrink = path_batch_shrink
+        self.r1_weight = r1_weight
+        self.path_regularize = path_regularize
+        self.mixing = mixing
+        self.save_every = save_every
+        self.log_every = log_every
+        self.logit_save_steps = logit_save_steps
+        self.save_logit_after = save_logit_after
+        self.stop_save_logit_after = stop_save_logit_after
+        self.seed = seed
+        self.key = jax.random.key(seed)
+        self.style_dim = gen.style_dim
+        self.n_latent = int(math.log2(gen.size)) * 2 - 2
+
+        self.images = jnp.asarray(dataset_images)  # uint8 NHWC, HBM-resident
+        self.num_data = len(dataset_images)
+        self.log_weights = (
+            log_weights_from_scores(sample_weights)
+            if sample_weights is not None else None
+        )
+
+        self.tx_g = reg_ratio_adam(lr, g_reg_every)
+        self.tx_d = reg_ratio_adam(lr, d_reg_every)
+
+        k1, k2, k3 = jax.random.split(self.key, 3)
+        z0 = jnp.zeros((2, self.style_dim))
+        x0 = jnp.zeros((2, gen.size, gen.size, 3))
+        gv = gen.init({"params": k1, "noise": k1}, z0)
+        dv = disc.init({"params": k2}, x0)
+        self.g_state = NetState(gv["params"], {}, self.tx_g.init(gv["params"]),
+                                jnp.zeros((), jnp.int32))
+        self.d_state = NetState(dv["params"], {}, self.tx_d.init(dv["params"]),
+                                jnp.zeros((), jnp.int32))
+        self.g_ema = jax.tree.map(jnp.copy, gv["params"])
+        self.pl_mean = jnp.zeros(())
+        if drs_disc is not None:
+            ddv = drs_disc.init({"params": k3}, x0)
+            self.d_drs_state = NetState(
+                ddv["params"], {}, self.tx_d.init(ddv["params"]),
+                jnp.zeros((), jnp.int32),
+            )
+        else:
+            self.d_drs_state = None
+
+        self.ada = AdaptiveAugment(ada_target, ada_length) \
+            if augment_p == 0 else None
+        self.ada_aug_p = augment_p
+        self.logit_results = {}
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _gen_apply(self, params, z1, z2, cutoff, noise_key):
+        return self.gen.apply(
+            {"params": params}, [z1, z2], cutoff,
+            method=type(self.gen).sample, rngs={"noise": noise_key},
+        )
+
+    def _disc_apply(self, disc, params, x):
+        out = disc.apply({"params": params}, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    def _build_steps(self):
+        bs = self.batch_size
+        sd = self.style_dim
+
+        def draw_batch(key, weighted):
+            if weighted and self.log_weights is not None:
+                idx = sample_weighted_indices(key, self.log_weights, (bs,))
+            else:
+                idx = sample_uniform_indices(key, self.num_data, (bs,))
+            real = jnp.take(self.images, idx, axis=0)
+            return real.astype(jnp.float32) / 127.5 - 1.0, idx
+
+        def mixing_cutoff(key):
+            kmix, kcut = jax.random.split(key)
+            do_mix = jax.random.bernoulli(kmix, self.mixing)
+            cut = jax.random.randint(kcut, (), 1, self.n_latent)
+            return jnp.where(do_mix, cut, self.n_latent)
+
+        def fakes(g_params, key):
+            kz1, kz2, kc, kn = jax.random.split(key, 4)
+            z1 = jax.random.normal(kz1, (bs, sd))
+            z2 = jax.random.normal(kz2, (bs, sd))
+            return self._gen_apply(g_params, z1, z2, mixing_cutoff(kc), kn)
+
+        def d_step_for(disc, tx, weighted):
+            def step(d_state, g_params, key, ada_p):
+                kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
+                real, _ = draw_batch(kdata, weighted)
+                fake = jax.lax.stop_gradient(fakes(g_params, kfake))
+                real_a = augment(real, kaug1, ada_p)
+                fake_a = augment(fake, kaug2, ada_p)
+
+                def loss_fn(p):
+                    rp = self._disc_apply(disc, p, real_a)
+                    fp = self._disc_apply(disc, p, fake_a)
+                    return L.d_logistic_loss(rp, fp), (rp, fp)
+
+                (loss, (rp, fp)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(d_state.params)
+                updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
+                params = optax.apply_updates(d_state.params, updates)
+                return (
+                    NetState(params, {}, opt, d_state.step + 1),
+                    {"d": loss, "real_score": jnp.mean(rp),
+                     "fake_score": jnp.mean(fp),
+                     "sign_real": jnp.sum(jnp.sign(rp))},
+                )
+            return step
+
+        def d_r1_for(disc, tx, weighted):
+            def step(d_state, key, ada_p):
+                kdata, kaug = jax.random.split(key)
+                real, _ = draw_batch(kdata, weighted)
+                real = augment(real, kaug, ada_p)
+
+                def r1_fn(p):
+                    def score(x):
+                        return jnp.sum(self._disc_apply(disc, p, x))
+
+                    g = jax.grad(score)(real)
+                    pen = jnp.sum(g.reshape(bs, -1) ** 2) / bs
+                    # lazy-reg weighting (train_ffhq.py:255-258)
+                    return self.r1_weight / 2 * pen * self.d_reg_every, pen
+
+                (loss, pen), grads = jax.value_and_grad(r1_fn, has_aux=True)(
+                    d_state.params
+                )
+                updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
+                params = optax.apply_updates(d_state.params, updates)
+                return NetState(params, {}, opt, d_state.step), {"r1": pen}
+            return step
+
+        self._d_step = jax.jit(d_step_for(self.disc, self.tx_d, True))
+        self._d_r1 = jax.jit(d_r1_for(self.disc, self.tx_d, True))
+        if self.drs_disc is not None:
+            self._drs_step = jax.jit(d_step_for(self.drs_disc, self.tx_d, False))
+            self._drs_r1 = jax.jit(d_r1_for(self.drs_disc, self.tx_d, False))
+
+        def g_step(g_state, g_ema, d_params, key):
+            def loss_fn(p):
+                fake = fakes(p, key)
+                fp = self._disc_apply(self.disc, d_params, fake)
+                return L.g_nonsaturating_loss(fp)
+
+            loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+            updates, opt = self.tx_g.update(grads, g_state.opt_state,
+                                            g_state.params)
+            params = optax.apply_updates(g_state.params, updates)
+            g_ema = jax.tree.map(
+                lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
+            )
+            return (
+                NetState(params, {}, opt, g_state.step + 1), g_ema, {"g": loss}
+            )
+
+        self._g_step = jax.jit(g_step)
+
+        def g_path_reg(g_state, g_ema, key, pl_mean):
+            pbs = max(1, bs // self.path_batch_shrink)
+            kz, kn, knoise = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (pbs, sd))
+
+            def gen_from_w_loss(p):
+                w = self.gen.apply({"params": p}, z,
+                                   method=lambda m, z: m.mapping(z))
+                styles = jnp.repeat(w[:, None, :], self.n_latent, axis=1)
+
+                def synth(styles):
+                    return self.gen.apply(
+                        {"params": p}, styles,
+                        method=lambda m, s: m.synthesis(s),
+                        rngs={"noise": knoise},
+                    )
+
+                imgs, vjp_fn = jax.vjp(synth, styles)
+                h, wd = imgs.shape[1], imgs.shape[2]
+                noise = jax.random.normal(kn, imgs.shape) / math.sqrt(h * wd)
+                (grads_w,) = vjp_fn(noise)
+                lengths = jnp.sqrt(
+                    jnp.sum(grads_w**2, axis=(1, 2)) + 1e-12
+                )
+                new_mean = pl_mean + 0.01 * (jnp.mean(lengths) - pl_mean)
+                penalty = jnp.mean((lengths - new_mean) ** 2)
+                weighted = (
+                    self.path_regularize * self.g_reg_every * penalty
+                    # keep a live dependence on outputs (reference adds
+                    # 0 * fake[0,0,0,0], train_ffhq.py:294)
+                    + 0.0 * jnp.sum(imgs[:1])
+                )
+                return weighted, (penalty, lengths, new_mean)
+
+            (loss, (pen, lengths, new_mean)), grads = jax.value_and_grad(
+                gen_from_w_loss, has_aux=True
+            )(g_state.params)
+            updates, opt = self.tx_g.update(grads, g_state.opt_state,
+                                            g_state.params)
+            params = optax.apply_updates(g_state.params, updates)
+            g_ema = jax.tree.map(
+                lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
+            )
+            return (
+                NetState(params, {}, opt, g_state.step), g_ema, new_mean,
+                {"path": pen, "path_length": jnp.mean(lengths)},
+            )
+
+        self._g_path_reg = jax.jit(g_path_reg)
+
+    # ------------------------------------------------------------------
+    def _record_logits(self, step, batch=64):
+        disc = self.drs_disc if self.drs_disc is not None else self.disc
+        params = (
+            self.d_drs_state.params if self.drs_disc is not None
+            else self.d_state.params
+        )
+        name = "netD_drs" if self.drs_disc is not None else "netD"
+
+        @jax.jit
+        def score(params, idx):
+            x = jnp.take(self.images, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
+            return self._disc_apply(disc, params, x)
+
+        out = np.zeros(self.num_data)
+        for s in range(0, self.num_data, batch):
+            idx = np.arange(s, min(s + batch, self.num_data))
+            pad = batch - len(idx)
+            idx_p = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
+            vals = np.asarray(score(params, jnp.asarray(idx_p)))
+            out[idx] = vals[: len(idx)]
+        self.logit_results.setdefault(f"{name}_eval", {})[step] = out
+
+    def _save_ckpt(self, step):
+        payload = {
+            "g": jax.device_get(self.g_state.params),
+            "d": jax.device_get(self.d_state.params),
+            "g_ema": jax.device_get(self.g_ema),
+            "g_optim": jax.device_get(self.g_state.opt_state),
+            "d_optim": jax.device_get(self.d_state.opt_state),
+            "ada_aug_p": self.ada_aug_p,
+            "step": step,
+        }
+        if self.d_drs_state is not None:
+            payload["drs_d"] = jax.device_get(self.d_drs_state.params)
+            payload["drs_d_optim"] = jax.device_get(self.d_drs_state.opt_state)
+        path = self.output_path / "checkpoint" / f"{step:06d}.pt"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            # to_bytes handles optax tuple states via to_state_dict
+            f.write(serialization.to_bytes(payload))
+        self._ckpt_template = payload
+        if self.logit_results:
+            import pickle
+
+            for nm, res in self.logit_results.items():
+                with open(self.output_path / f"logits_{nm.split('_')[0]}.pkl",
+                          "wb") as f:
+                    pickle.dump({k: np.float64(v) for k, v in res.items()}, f)
+
+    def load_ckpt(self, path):
+        template = {
+            "g": jax.device_get(self.g_state.params),
+            "d": jax.device_get(self.d_state.params),
+            "g_ema": jax.device_get(self.g_ema),
+            "g_optim": jax.device_get(self.g_state.opt_state),
+            "d_optim": jax.device_get(self.d_state.opt_state),
+            "ada_aug_p": 0.0,
+            "step": 0,
+        }
+        with open(path, "rb") as f:
+            data = f.read()
+        if self.d_drs_state is not None:
+            full = dict(template)
+            full["drs_d"] = jax.device_get(self.d_drs_state.params)
+            full["drs_d_optim"] = jax.device_get(self.d_drs_state.opt_state)
+            try:
+                payload = serialization.from_bytes(full, data)
+            except (KeyError, ValueError):
+                # phase-1 checkpoint without drs_d: clone d into drs_d
+                # (reference train_ffhq_phase2.py:605-610, eval fallback
+                # evaluate.py:240-244)
+                payload = serialization.from_bytes(template, data)
+                payload["drs_d"] = payload["d"]
+        else:
+            payload = serialization.from_bytes(template, data)
+        self.g_state = self.g_state.replace(params=jax.tree.map(
+            jnp.asarray, payload["g"]))
+        self.d_state = self.d_state.replace(params=jax.tree.map(
+            jnp.asarray, payload["d"]))
+        self.g_ema = jax.tree.map(jnp.asarray, payload["g_ema"])
+        if self.d_drs_state is not None:
+            src = payload.get("drs_d", payload["d"])
+            self.d_drs_state = self.d_drs_state.replace(
+                params=jax.tree.map(jnp.asarray, src))
+        self.ada_aug_p = float(payload.get("ada_aug_p", 0.0))
+        return int(payload.get("step", 0))
+
+    def train(self, start_step=0):
+        for step in range(start_step, self.num_steps):
+            self.key, kd, kdd, kg, kr = jax.random.split(self.key, 5)
+            self.d_state, dm = self._d_step(
+                self.d_state, self.g_state.params, kd, self.ada_aug_p
+            )
+            if self.drs_disc is not None:
+                self.d_drs_state, _ = self._drs_step(
+                    self.d_drs_state, self.g_state.params, kdd, self.ada_aug_p
+                )
+            if self.ada is not None:
+                self.ada_aug_p = self.ada.tune(
+                    float(dm["sign_real"]), self.batch_size
+                )
+            metrics = {k: float(v) for k, v in dm.items() if k != "sign_real"}
+            if step % self.d_reg_every == 0:
+                self.d_state, rm = self._d_r1(self.d_state, kr, self.ada_aug_p)
+                if self.drs_disc is not None:
+                    self.d_drs_state, _ = self._drs_r1(
+                        self.d_drs_state, kr, self.ada_aug_p
+                    )
+                metrics["r1"] = float(rm["r1"])
+            self.g_state, self.g_ema, gm = self._g_step(
+                self.g_state, self.g_ema, self.d_state.params, kg
+            )
+            metrics.update({k: float(v) for k, v in gm.items()})
+            if step % self.g_reg_every == 0:
+                self.g_state, self.g_ema, self.pl_mean, pm = self._g_path_reg(
+                    self.g_state, self.g_ema, kr, self.pl_mean
+                )
+                metrics.update({k: float(v) for k, v in pm.items()})
+
+            if step % self.log_every == 0:
+                parts = "; ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+                print(f"step {step}: {parts}; ada_p: {self.ada_aug_p:.4f}",
+                      flush=True)
+            if (
+                self.logit_save_steps
+                and step > 0
+                and step % self.logit_save_steps == 0
+                and self.save_logit_after <= step <= self.stop_save_logit_after
+            ):
+                self._record_logits(step)
+            if step > 0 and step % self.save_every == 0:
+                self._save_ckpt(step)
+        self._save_ckpt(self.num_steps)
+        return self

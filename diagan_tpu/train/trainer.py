@@ -179,12 +179,16 @@ class LogTrainer:
             quantized=self.source._quantized,
         )
         self.cfg = cfg
-        self.fused_step = make_fused_step(
+        self._make_fused_step = lambda g_aux_loss=None: make_fused_step(
             bundle.gen, bundle.disc, bundle.disc_drs,
             self.tx_g, self.tx_d, self.tx_d_drs, cfg,
             self.num_data, self.source_drs.num_data if self.train_drs else 1,
+            g_aux_loss=g_aux_loss,
         )
+        self.fused_step = self._make_fused_step()
         self._chunks = {}  # chunk_size -> jitted program
+        self.aux = None    # extra pytree for g_aux_loss hooks (Inclusive GAN)
+        self.g_aux_loss = None
 
         # ---- logit recorder ---------------------------------------------
         n_snaps = (
@@ -228,11 +232,21 @@ class LogTrainer:
             drop_key = jax.random.key(self.seed + 2)
 
             def fwd(params, state, batch):
-                out = dmod.apply(
-                    {"params": params, **state}, batch,
-                    update_stats=False, train=mode == "train",
-                    rngs={"dropout": drop_key},
-                )
+                if mode == "train" and state:
+                    # train-mode sweep: BN uses batch statistics; the
+                    # collection updates are computed then discarded (the
+                    # reference's no_grad train-mode forward, trainer.py:147)
+                    out, _ = dmod.apply(
+                        {"params": params, **state}, batch,
+                        update_stats=False, train=True,
+                        mutable=list(state.keys()), rngs={"dropout": drop_key},
+                    )
+                else:
+                    out = dmod.apply(
+                        {"params": params, **state}, batch,
+                        update_stats=False, train=False,
+                        rngs={"dropout": drop_key},
+                    )
                 return out, state
 
             self._record_fwd = fwd
@@ -287,7 +301,7 @@ class LogTrainer:
                 (self.g_state, self.d_state, self.d_drs_state, metrics) = chunk(
                     self.g_state, self.d_state, self.d_drs_state,
                     self.source.images, drs_images, log_weights, key,
-                    jnp.asarray(step, jnp.int32),
+                    jnp.asarray(step, jnp.int32), self.aux,
                 )
                 step = boundary
                 last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}

@@ -1,0 +1,99 @@
+"""CelebA attribute-sliced partial recall (with/without --attr).
+
+CLI parity with reference eval_gan_celeba_with_attr.py: computes partial
+recall of generated samples against the attr-positive and attr-negative
+real subsets (reference evaluate.py:921-1095, pr_score_with_attr.py).
+"""
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from diagan_tpu.cli.common import enable_compile_cache
+from diagan_tpu.data import get_predefined_dataset
+from diagan_tpu.data.sources import CELEBA_ATTR_NAMES
+from diagan_tpu.eval.evaluate import (
+    DRS,
+    Sampler,
+    load_eval_models,
+    make_disc_fn,
+    make_gen_fn,
+)
+from diagan_tpu.eval import metrics as M
+from diagan_tpu.eval.inception import InceptionFeaturizer
+from diagan_tpu.models import get_gan_model
+from diagan_tpu.utils import set_seed
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", "-d", default="celeba", type=str)
+    parser.add_argument("--root", "-r", default="./dataset/celeba", type=str)
+    parser.add_argument("--attr", default="Bald", type=str)
+    parser.add_argument("--work_dir", default="./exp_results", type=str)
+    parser.add_argument("--exp_name", default="mimicry_pretrained-seed1", type=str)
+    parser.add_argument("--model", default="sngan", type=str)
+    parser.add_argument("--loss_type", default="hinge", type=str)
+    parser.add_argument("--gpu", default="0", type=str)
+    parser.add_argument("--batch_size", default=128, type=int)
+    parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--netG_ckpt_step", type=int)
+    parser.add_argument("--netG_train_mode", action="store_true")
+    return parser
+
+
+def run(args, use_drs=False, use_original_netD=False, num_fake=10000,
+        num_real=10000):
+    enable_compile_cache()
+    save_path = Path(f"{args.work_dir}/{args.exp_name}")
+    set_seed(args.seed)
+    assert args.netG_ckpt_step
+
+    ds = get_predefined_dataset(args.dataset, args.root)
+    attrs = getattr(ds, "attrs", None)
+    assert attrs is not None and np.abs(attrs).sum() > 0, (
+        "CelebA attribute annotations (list_attr_celeba.txt) not found"
+    )
+    col = CELEBA_ATTR_NAMES.index(args.attr)
+    attr_idx = np.where(attrs[:, col] == 1)[0]
+    not_attr_idx = np.where(attrs[:, col] != 1)[0]
+    print(f"attr {args.attr}: {len(attr_idx)} with / {len(not_attr_idx)} without")
+
+    bundle = get_gan_model(dataset_name=args.dataset, model=args.model,
+                           loss_type=args.loss_type, drs=use_drs)
+    g_state, d_drs_state = load_eval_models(
+        bundle, save_path, args.netG_ckpt_step, use_drs=use_drs,
+        use_original_netD=use_original_netD,
+    )
+    gen_fn = make_gen_fn(bundle, g_state)
+    if use_drs:
+        disc_fn = make_disc_fn(bundle.disc_drs or bundle.disc, d_drs_state)
+        sampler = DRS(gen_fn, disc_fn, bundle.nz, batch_size=256)
+    else:
+        sampler = Sampler(gen_fn, bundle.nz, batch_size=256)
+
+    featurizer = InceptionFeaturizer(batch_size=args.batch_size)
+    fakes = sampler.generate_images(num_fake)
+    fake_feats = featurizer.features(M.normalize_images(fakes))
+
+    rng = np.random.default_rng(args.seed)
+    out = {}
+    for name, idx in (("attr", attr_idx), ("not_attr", not_attr_idx)):
+        sel = idx if len(idx) <= num_real else rng.choice(idx, num_real, False)
+        feats = featurizer.features(ds.images[sel])
+        out[name] = M.compute_partial_recall(feats, fake_feats, nearest_k=3)
+        print(f"INFO ({'with' if name == 'attr' else 'without'} attr): "
+              f"partial_recall (step {args.netG_ckpt_step}): {out[name]}")
+
+    out_dir = save_path / "evaluate" / f"step-{args.netG_ckpt_step}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tag = "drs_" if use_drs else ""
+    out_file = out_dir / f"partial_recall_{tag}{args.attr}.json"
+    out["inception_weights"] = featurizer.weights_kind
+    out_file.write_text(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

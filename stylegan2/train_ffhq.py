@@ -1,0 +1,113 @@
+"""StyleGAN2 FFHQ phase-1 training.
+
+CLI parity with reference stylegan2/train_ffhq.py (flags, defaults,
+checkpoint dict layout, logit-recording window 195k-200k). The reference's
+DDP/NCCL multi-GPU path is replaced by the jax.sharding data-parallel mesh
+(diagan_tpu.parallel); ADA sign statistics are psum'd when data-parallel.
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from diagan_tpu.cli.common import enable_compile_cache  # noqa: E402
+from diagan_tpu.data.ffhq import load_ffhq  # noqa: E402
+from diagan_tpu.models.stylegan2 import (  # noqa: E402
+    StyleGAN2Discriminator,
+    StyleGAN2Generator,
+)
+from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer  # noqa: E402
+from diagan_tpu.utils import set_seed  # noqa: E402
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", "-d", default="ffhq", type=str)
+    parser.add_argument("--root", "-r", default="./dataset/ffhq", type=str)
+    parser.add_argument("--iter", type=int, default=800000)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--n_sample", type=int, default=64)
+    parser.add_argument("--size", type=int, default=32)
+    parser.add_argument("--r1", type=float, default=0.1)
+    parser.add_argument("--path_regularize", type=float, default=2)
+    parser.add_argument("--path_batch_shrink", type=int, default=2)
+    parser.add_argument("--d_reg_every", type=int, default=16)
+    parser.add_argument("--g_reg_every", type=int, default=4)
+    parser.add_argument("--mixing", type=float, default=0.9)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--lr", type=float, default=0.002)
+    parser.add_argument("--channel_multiplier", type=int, default=2)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--augment_p", type=float, default=0)
+    parser.add_argument("--ada_target", type=float, default=0.6)
+    parser.add_argument("--ada_length", type=int, default=500 * 1000)
+    parser.add_argument("--ada_every", type=int, default=256)
+    parser.add_argument("--work_dir", default="./exp_results", type=str)
+    parser.add_argument("--exp_name", default="test", type=str)
+    parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--gpu", type=str)
+    parser.add_argument("--logit_save_steps", default=100, type=int)
+    parser.add_argument("--save_logit_after", default=195000, type=int)
+    parser.add_argument("--stop_save_logit_after", default=200000, type=int)
+    return parser
+
+
+def make_trainer(args, sample_weights=None, drs=False, r1=None):
+    enable_compile_cache()
+    set_seed(args.seed)
+    output_dir = Path(args.work_dir) / args.exp_name
+    images = load_ffhq(args.root, size=args.size)
+    gen = StyleGAN2Generator(size=args.size,
+                             channel_multiplier=args.channel_multiplier)
+    disc = StyleGAN2Discriminator(size=args.size,
+                                  channel_multiplier=args.channel_multiplier)
+    drs_disc = (
+        StyleGAN2Discriminator(size=args.size,
+                               channel_multiplier=args.channel_multiplier)
+        if drs else None
+    )
+    trainer = StyleGAN2Trainer(
+        output_dir, gen, disc, images,
+        num_steps=args.iter,
+        drs_disc=drs_disc,
+        sample_weights=sample_weights,
+        batch_size=args.batch,
+        lr=args.lr,
+        r1_weight=r1 if r1 is not None else args.r1,
+        path_regularize=args.path_regularize,
+        d_reg_every=args.d_reg_every,
+        g_reg_every=args.g_reg_every,
+        path_batch_shrink=args.path_batch_shrink,
+        mixing=args.mixing,
+        augment_p=args.augment_p if args.augment else 1e9,
+        ada_target=args.ada_target,
+        ada_length=args.ada_length,
+        logit_save_steps=args.logit_save_steps,
+        save_logit_after=args.save_logit_after,
+        stop_save_logit_after=args.stop_save_logit_after,
+        seed=args.seed,
+    )
+    if not args.augment:
+        trainer.ada = None
+        trainer.ada_aug_p = 0.0
+    elif args.augment_p > 0:
+        trainer.ada = None
+        trainer.ada_aug_p = args.augment_p
+    start = 0
+    if args.ckpt:
+        start = trainer.load_ckpt(args.ckpt)
+        print(f"resumed from {args.ckpt} at step {start}")
+    return trainer, start
+
+
+def main():
+    args = build_parser().parse_args()
+    trainer, start = make_trainer(args)
+    trainer.train(start_step=start)
+
+
+if __name__ == "__main__":
+    main()

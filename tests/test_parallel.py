@@ -56,7 +56,7 @@ def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
     images = replicate(src.images, mesh)
     g, d, dd, metrics = chunk(
         replicate(g, mesh), replicate(d, mesh), replicate(dd, mesh),
-        images, images, None, jax.random.key(1), jnp.int32(0),
+        images, images, None, jax.random.key(1), jnp.int32(0), None,
     )
     assert metrics["errD"].shape == (2,)
     assert np.isfinite(np.asarray(metrics["errD"])).all()
@@ -75,7 +75,7 @@ def test_sharded_matches_single_device_structure(tmp_path, mesh):
     g2, d2, dd2, _ = chunk(
         replicate(g, mesh), replicate(d, mesh), replicate(dd, mesh),
         replicate(src.images, mesh), replicate(src.images, mesh), None,
-        jax.random.key(2), jnp.int32(0),
+        jax.random.key(2), jnp.int32(0), None,
     )
     assert jax.tree.structure(g2.params) == jax.tree.structure(g.params)
     assert int(g2.step) == int(g.step) + 1

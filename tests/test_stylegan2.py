@@ -1,0 +1,105 @@
+"""StyleGAN2 + ADA tests (tiny sizes, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diagan_tpu.models.ada import AdaptiveAugment, augment
+from diagan_tpu.models.stylegan2 import (
+    StyleGAN2Discriminator,
+    StyleGAN2Generator,
+)
+
+
+@pytest.fixture(scope="module")
+def gen16():
+    g = StyleGAN2Generator(size=16)
+    z = jnp.ones((2, 512))
+    k = jax.random.key(0)
+    return g, g.init({"params": k, "noise": k}, z)
+
+
+def test_generator_shapes_and_finite(gen16):
+    g, gv = gen16
+    k = jax.random.key(1)
+    z = jax.random.normal(k, (2, 512))
+    imgs = g.apply(gv, z, rngs={"noise": k})
+    assert imgs.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(imgs).all())
+
+
+def test_style_mixing_changes_output(gen16):
+    g, gv = gen16
+    k = jax.random.key(2)
+    z1 = jax.random.normal(k, (2, 512))
+    z2 = jax.random.normal(jax.random.key(3), (2, 512))
+    a = g.apply(gv, [z1, z1], None, method=StyleGAN2Generator.sample,
+                rngs={"noise": k})
+    b = g.apply(gv, [z1, z2], 2, method=StyleGAN2Generator.sample,
+                rngs={"noise": k})
+    assert float(jnp.abs(a - b).max()) > 1e-4
+
+
+def test_truncation_pulls_to_mean(gen16):
+    g, gv = gen16
+    k = jax.random.key(4)
+    w_mean = g.apply(gv, k, 256, method=StyleGAN2Generator.mean_latent)
+    z = jax.random.normal(k, (4, 512))
+    full = g.apply(gv, [z], None, 1.0, w_mean,
+                   method=StyleGAN2Generator.sample, rngs={"noise": k})
+    trunc = g.apply(gv, [z], None, 0.1, w_mean,
+                    method=StyleGAN2Generator.sample, rngs={"noise": k})
+    # heavily truncated samples are closer to each other than full samples
+    def spread(x):
+        return float(jnp.mean(jnp.var(x, axis=0)))
+
+    assert spread(trunc) < spread(full)
+
+
+def test_discriminator_runs(gen16):
+    g, gv = gen16
+    k = jax.random.key(5)
+    imgs = g.apply(gv, jax.random.normal(k, (4, 512)), rngs={"noise": k})
+    d = StyleGAN2Discriminator(size=16)
+    dv = d.init({"params": k}, imgs)
+    logits, aux = d.apply(dv, imgs)
+    assert logits.shape == (4,)
+    # gradient flows end-to-end G -> D
+    def loss(gp):
+        fake = g.apply({"params": gp}, jax.random.normal(k, (2, 512)),
+                       rngs={"noise": k})
+        return jnp.mean(d.apply(dv, fake)[0])
+
+    grads = jax.grad(loss)(gv["params"])
+    total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+def test_ada_identity_at_p0():
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    )
+    out = augment(imgs, jax.random.key(0), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-4)
+
+
+def test_ada_transforms_at_p1():
+    imgs = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    )
+    out = augment(imgs, jax.random.key(1), 1.0)
+    assert out.shape == imgs.shape
+    assert float(jnp.abs(out - imgs).mean()) > 0.05
+
+
+def test_adaptive_augment_direction():
+    ada = AdaptiveAugment(ada_aug_target=0.6, ada_aug_len=1000, update_every=1)
+    # D confidently positive on real -> overfit signal -> p rises
+    for _ in range(5):
+        p_up = ada.tune(16.0, 16)
+    assert p_up > 0
+    ada2 = AdaptiveAugment(ada_aug_target=0.6, ada_aug_len=1000, update_every=1)
+    ada2.ada_aug_p = 0.5
+    for _ in range(5):
+        p_down = ada2.tune(-16.0, 16)
+    assert p_down < 0.5
