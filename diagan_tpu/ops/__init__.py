@@ -11,10 +11,12 @@ from diagan_tpu.ops.upfirdn2d import (
     make_resample_kernel,
 )
 from diagan_tpu.ops.fused_act import fused_leaky_relu
+from diagan_tpu.ops.fir_pallas import upfirdn2d_pallas
 
 __all__ = [
     "upfirdn2d",
     "upfirdn2d_ref",
+    "upfirdn2d_pallas",
     "make_resample_kernel",
     "fused_leaky_relu",
 ]

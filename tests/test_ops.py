@@ -113,3 +113,16 @@ def test_fused_leaky_relu_pallas_interpret_matches():
     gx_want = jax.grad(lambda x: jnp.sum(fused_act.fused_leaky_relu(x, b)))(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("up,down,pad,k1d", CONFIGS[:5])
+def test_upfirdn2d_pallas_matches_oracle(up, down, pad, k1d):
+    from diagan_tpu.ops.fir_pallas import upfirdn2d_pallas
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 12, 9, 3)).astype(np.float32))
+    k = make_resample_kernel(k1d)
+    got = upfirdn2d_pallas(x, k, up=up, down=down, pad=pad, interpret=True)
+    want = upfirdn2d_ref(np.asarray(x), np.asarray(k), up=up, down=down, pad=pad)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
