@@ -346,6 +346,15 @@ class StyleGAN2Trainer:
                           "wb") as f:
                     pickle.dump({k: np.float64(v) for k, v in res.items()}, f)
 
+    def find_latest_ckpt(self):
+        """Latest checkpoint by filename-parsed step (the reference resumes
+        by parsing {iter:06d}.pt, train_ffhq.py:552-570)."""
+        d = self.output_path / "checkpoint"
+        if not d.is_dir():
+            return None
+        cands = sorted(d.glob("*.pt"))
+        return cands[-1] if cands else None
+
     def load_ckpt(self, path):
         template = {
             "g": jax.device_get(self.g_state.params),

@@ -82,7 +82,10 @@ class LogTrainer:
         save_eval_logits=True,
         seed=0,
         weight_eps=1e-6,
+        profile_dir=None,
     ):
+        # jax.profiler trace over the first chunks when requested
+        self.profile_dir = profile_dir
         self.output_path = Path(output_path)
         self.log_dir = Path(log_dir or output_path)
         self.bundle = bundle
@@ -292,6 +295,11 @@ class LogTrainer:
 
         old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         start_time = time.time()
+        profiling = False
+        if self.profile_dir:
+            jax.profiler.start_trace(str(self.profile_dir))
+            profiling = True
+            profile_until = step + 3 * self.print_steps
         try:
             while step < self.num_steps and not interrupted["flag"]:
                 boundary = self._next_boundary(step)
@@ -304,6 +312,10 @@ class LogTrainer:
                     jnp.asarray(step, jnp.int32), self.aux,
                 )
                 step = boundary
+                if profiling and step >= profile_until:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"INFO: profiler trace written to {self.profile_dir}")
                 last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
                 last["lr_D"] = float(self._lr_sched(step))
 
@@ -337,6 +349,8 @@ class LogTrainer:
             if self.save_logits and step >= self.save_logit_after:
                 self._save_logit_pickles()
         finally:
+            if profiling:
+                jax.profiler.stop_trace()
             signal.signal(signal.SIGTERM, old_handler)
             self.logger.close()
         self.global_step = step
