@@ -29,6 +29,11 @@ def get_predefined_dataset(dataset_name, root, weights=None, **kwargs):
         ds = build_mnist_fmnist(root, **kwargs)
     elif dataset_name == "25gaussian":
         ds = GaussianDataset.build(**kwargs)
+    elif dataset_name == "ffhq":
+        from diagan_tpu.data.ffhq import load_ffhq
+
+        images = load_ffhq(root, size=kwargs.get("size", 256))
+        ds = ArrayDataset.from_images(np.asarray(images), name="ffhq")
     else:
         raise ValueError(f"unknown dataset: {dataset_name}")
     if weights is not None:

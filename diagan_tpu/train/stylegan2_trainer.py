@@ -77,7 +77,15 @@ class StyleGAN2Trainer:
         save_logit_after=0,
         stop_save_logit_after=10**9,
         seed=0,
+        mesh=None,
+        axis_name="data",
     ):
+        # Optional data parallelism: with a Mesh, every step program is
+        # shard_map'd with replicated states, per-device key streams
+        # (axis-index folding) and pmean gradient reduction; batch_size is
+        # per-device (matching the reference's --batch per-GPU semantics).
+        self.mesh = mesh
+        self.axis_name = axis_name if mesh is not None else None
         self.output_path = Path(output_path)
         self.output_path.mkdir(parents=True, exist_ok=True)
         self.gen = gen
@@ -138,6 +146,32 @@ class StyleGAN2Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------
+    def _maybe_fold(self, key):
+        if self.axis_name:
+            return jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
+        return key
+
+    def _maybe_pmean(self, tree):
+        if self.axis_name:
+            return jax.lax.pmean(tree, self.axis_name)
+        return tree
+
+    def _maybe_psum(self, x):
+        if self.axis_name:
+            return jax.lax.psum(x, self.axis_name)
+        return x
+
+    def _jit(self, fn, n_args):
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(shard_map(
+            fn, mesh=self.mesh, in_specs=(P(),) * n_args,
+            out_specs=P(), check_vma=False,
+        ))
+
     def _gen_apply(self, params, z1, z2, cutoff, noise_key):
         return self.gen.apply(
             {"params": params}, [z1, z2], cutoff,
@@ -174,6 +208,7 @@ class StyleGAN2Trainer:
 
         def d_step_for(disc, tx, weighted):
             def step(d_state, g_params, key, ada_p):
+                key = self._maybe_fold(key)
                 kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
                 real, _ = draw_batch(kdata, weighted)
                 fake = jax.lax.stop_gradient(fakes(g_params, kfake))
@@ -188,18 +223,20 @@ class StyleGAN2Trainer:
                 (loss, (rp, fp)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(d_state.params)
+                grads = self._maybe_pmean(grads)
                 updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
                 params = optax.apply_updates(d_state.params, updates)
                 return (
                     NetState(params, {}, opt, d_state.step + 1),
                     {"d": loss, "real_score": jnp.mean(rp),
                      "fake_score": jnp.mean(fp),
-                     "sign_real": jnp.sum(jnp.sign(rp))},
+                     "sign_real": self._maybe_psum(jnp.sum(jnp.sign(rp)))},
                 )
             return step
 
         def d_r1_for(disc, tx, weighted):
             def step(d_state, key, ada_p):
+                key = self._maybe_fold(key)
                 kdata, kaug = jax.random.split(key)
                 real, _ = draw_batch(kdata, weighted)
                 real = augment(real, kaug, ada_p)
@@ -216,24 +253,29 @@ class StyleGAN2Trainer:
                 (loss, pen), grads = jax.value_and_grad(r1_fn, has_aux=True)(
                     d_state.params
                 )
+                grads = self._maybe_pmean(grads)
                 updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
                 params = optax.apply_updates(d_state.params, updates)
                 return NetState(params, {}, opt, d_state.step), {"r1": pen}
             return step
 
-        self._d_step = jax.jit(d_step_for(self.disc, self.tx_d, True))
-        self._d_r1 = jax.jit(d_r1_for(self.disc, self.tx_d, True))
+        self._d_step = self._jit(d_step_for(self.disc, self.tx_d, True), 4)
+        self._d_r1 = self._jit(d_r1_for(self.disc, self.tx_d, True), 3)
         if self.drs_disc is not None:
-            self._drs_step = jax.jit(d_step_for(self.drs_disc, self.tx_d, False))
-            self._drs_r1 = jax.jit(d_r1_for(self.drs_disc, self.tx_d, False))
+            self._drs_step = self._jit(
+                d_step_for(self.drs_disc, self.tx_d, False), 4)
+            self._drs_r1 = self._jit(d_r1_for(self.drs_disc, self.tx_d, False), 3)
 
         def g_step(g_state, g_ema, d_params, key):
+            key = self._maybe_fold(key)
+
             def loss_fn(p):
                 fake = fakes(p, key)
                 fp = self._disc_apply(self.disc, d_params, fake)
                 return L.g_nonsaturating_loss(fp)
 
             loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+            grads = self._maybe_pmean(grads)
             updates, opt = self.tx_g.update(grads, g_state.opt_state,
                                             g_state.params)
             params = optax.apply_updates(g_state.params, updates)
@@ -244,9 +286,10 @@ class StyleGAN2Trainer:
                 NetState(params, {}, opt, g_state.step + 1), g_ema, {"g": loss}
             )
 
-        self._g_step = jax.jit(g_step)
+        self._g_step = self._jit(g_step, 4)
 
         def g_path_reg(g_state, g_ema, key, pl_mean):
+            key = self._maybe_fold(key)
             pbs = max(1, bs // self.path_batch_shrink)
             kz, kn, knoise = jax.random.split(key, 3)
             z = jax.random.normal(kz, (pbs, sd))
@@ -283,6 +326,7 @@ class StyleGAN2Trainer:
             (loss, (pen, lengths, new_mean)), grads = jax.value_and_grad(
                 gen_from_w_loss, has_aux=True
             )(g_state.params)
+            grads = self._maybe_pmean(grads)
             updates, opt = self.tx_g.update(grads, g_state.opt_state,
                                             g_state.params)
             params = optax.apply_updates(g_state.params, updates)
@@ -294,7 +338,7 @@ class StyleGAN2Trainer:
                 {"path": pen, "path_length": jnp.mean(lengths)},
             )
 
-        self._g_path_reg = jax.jit(g_path_reg)
+        self._g_path_reg = self._jit(g_path_reg, 4)
 
     # ------------------------------------------------------------------
     def _record_logits(self, step, batch=64):

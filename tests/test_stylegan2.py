@@ -103,3 +103,21 @@ def test_adaptive_augment_direction():
     for _ in range(5):
         p_down = ada2.tune(-16.0, 16)
     assert p_down < 0.5
+
+
+def test_stylegan2_trainer_data_parallel(tmp_path):
+    """Full SG2 step programs under shard_map on the 8-device CPU mesh."""
+    from diagan_tpu.parallel import make_mesh
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    mesh = make_mesh(jax.devices()[:8])
+    imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3), np.uint8)
+    gen = StyleGAN2Generator(size=16)
+    disc = StyleGAN2Discriminator(size=16)
+    tr = StyleGAN2Trainer(tmp_path, gen, disc, imgs, num_steps=2,
+                          batch_size=2, log_every=1, save_every=10000,
+                          mesh=mesh)
+    tr.train()
+    assert int(tr.g_state.step) == 2
+    leaf = jax.tree.leaves(tr.g_state.params)[0]
+    assert bool(jnp.isfinite(leaf).all())
