@@ -152,8 +152,25 @@ def evaluate_checkpoint(
     results["inception_weights"] = featurizer.weights_kind
     results["use_drs"] = use_drs
 
-    # real-side features once (shared across seeds)
+    # real-side features once (shared across seeds). For plain FID the
+    # (mu, sigma) pair is cached in the reference's statistics layout
+    # (fid_score.py:43-74: metrics/fid/statistics/fid_stats_{...}.npz).
     real_feats = None
+    if metric == "fid" and stats_file is None and real_subset_index is None:
+        cache = (
+            log_dir / "metrics" / "fid" / "statistics"
+            / f"fid_stats_{bundle.dataset}_{nr}k_run_{start_seed}.npz"
+        )
+        if cache.is_file():
+            stats_file = cache
+        elif real_images is not None:
+            sel = real_images
+            if len(sel) > num_real_samples:
+                rng = np.random.default_rng(start_seed)
+                sel = sel[rng.choice(len(sel), num_real_samples, replace=False)]
+            mu, sigma = M.activation_statistics(featurizer.features(sel))
+            M.save_stats(cache, mu, sigma)
+            stats_file = cache
     if metric in ("fid", "kid", "pr") and stats_file is None:
         assert real_images is not None, "need real_images or stats_file"
         sel = real_images

@@ -1,0 +1,97 @@
+"""Trainer extras: toy-dataset path, evaluate driver end-to-end, stats cache."""
+import json
+
+import numpy as np
+import pytest
+
+from diagan_tpu.data import get_predefined_dataset
+from diagan_tpu.models import get_gan_model
+from diagan_tpu.train import LogTrainer
+
+
+@pytest.fixture(scope="module")
+def toy_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("toy")
+    ds = get_predefined_dataset("25gaussian", root=None, n_samples=500)
+    bundle = get_gan_model("25gaussian", loss_type="ns")
+    tr = LogTrainer(
+        output_path=out, bundle=bundle, dataset=ds, num_steps=6,
+        n_dis=1, batch_size=16, print_steps=3, vis_steps=6, log_steps=3,
+        save_steps=6, logit_save_steps=3, save_logits=True,
+        save_logit_after=0, stop_save_logit_after=10, seed=0,
+    )
+    tr.train()
+    return out, tr
+
+
+def test_toy_training_runs(toy_run):
+    out, tr = toy_run
+    assert tr.global_step == 6
+    pts = np.asarray(tr.generate_images(n=32))
+    assert pts.shape == (32, 2) and np.isfinite(pts).all()
+
+
+def test_toy_logit_recording(toy_run):
+    import pickle
+
+    out, _ = toy_run
+    logits = pickle.load(open(out / "logits_netD_eval.pkl", "rb"))
+    assert all(len(v) == 500 for v in logits.values())
+
+
+@pytest.fixture(scope="module")
+def mnist_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    out = tmp_path_factory.mktemp("exp")
+    ds = get_predefined_dataset("color_mnist", root, major_ratio=0.9,
+                                num_data=64, seed=0)
+    bundle = get_gan_model("color_mnist", loss_type="ns", drs=True)
+    tr = LogTrainer(
+        output_path=out, bundle=bundle, dataset=ds, num_steps=4,
+        n_dis=1, batch_size=8, print_steps=4, vis_steps=4, log_steps=4,
+        save_steps=4, save_logits=False, seed=0,
+    )
+    tr.train()
+    return root, out, ds, bundle
+
+
+def test_evaluate_checkpoint_fid_with_drs(mnist_run, tmp_path):
+    from diagan_tpu.eval.evaluate import evaluate_checkpoint
+    from diagan_tpu.eval.inception import InceptionFeaturizer
+
+    root, out, ds, bundle = mnist_run
+    featurizer = InceptionFeaturizer(batch_size=16)
+    res = evaluate_checkpoint(
+        "fid", bundle=bundle, log_dir=out, evaluate_step=4,
+        real_images=ds.images, num_real_samples=32, num_fake_samples=32,
+        num_runs=1, use_drs=True, featurizer=featurizer, batch_size=16,
+    )
+    assert "0" in res["scores"]
+    assert np.isfinite(res["scores"]["0"])
+    assert res["inception_weights"] == "random"
+    # stats cached in the reference layout
+    assert (out / "metrics/fid/statistics").is_dir()
+    # json written in the reference layout
+    f = out / "evaluate/step-4/fid_0k_0k.json"
+    assert f.is_file()
+    assert json.loads(f.read_text())["use_drs"] is True
+
+
+def test_evaluate_checkpoint_pr_and_is(mnist_run):
+    from diagan_tpu.eval.evaluate import evaluate_checkpoint
+    from diagan_tpu.eval.inception import InceptionFeaturizer
+
+    root, out, ds, bundle = mnist_run
+    featurizer = InceptionFeaturizer(batch_size=16)
+    pr = evaluate_checkpoint(
+        "pr", bundle=bundle, log_dir=out, evaluate_step=4,
+        real_images=ds.images, num_real_samples=32, num_fake_samples=32,
+        featurizer=featurizer, batch_size=16,
+    )
+    score = pr["scores"]["0"]
+    assert 0 <= score["precision"] <= 1 and 0 <= score["recall"] <= 1
+    is_res = evaluate_checkpoint(
+        "inception_score", bundle=bundle, log_dir=out, evaluate_step=4,
+        num_fake_samples=32, featurizer=featurizer, batch_size=16,
+    )
+    assert is_res["scores"]["0"] > 0
