@@ -200,6 +200,12 @@ class LogTrainer:
         )
         self.recorder = LogitRecorder(self.num_data, max(n_snaps, 2))
         self._record_fwd = None
+        self._record_name = "{}_{}".format(
+            "netD_drs" if self.train_drs else "netD",
+            "eval" if save_eval_logits else "train",
+        )
+        if self.global_step and save_logits:
+            self._maybe_restore_logit_buffer()
         self.logger = Logger(self.log_dir)
 
         # sample-grid latents fixed across training (mimicry-style)
@@ -266,6 +272,24 @@ class LogTrainer:
             ckpt.save_net(
                 self.d_drs_state, self.log_dir / "checkpoints", "netD_drs", step
             )
+        # the logit ring buffer rides along so a mid-window preemption
+        # restart loses no recorded snapshots
+        if self.save_logits and self.recorder.count:
+            sd = self.recorder.state_dict()
+            np.savez(
+                self.log_dir / "checkpoints" / "logit_buffer.npz",
+                buffer=sd["buffer"], steps=sd["steps"], count=sd["count"],
+            )
+
+    def _maybe_restore_logit_buffer(self):
+        path = self.log_dir / "checkpoints" / "logit_buffer.npz"
+        if path.is_file():
+            with np.load(path) as f:
+                self.recorder.load_state_dict(
+                    {"buffer": f["buffer"], "steps": f["steps"],
+                     "count": int(f["count"])}
+                )
+            print(f"INFO: restored {self.recorder.count} logit snapshots")
 
     def _save_logit_pickles(self):
         if self.recorder.count:

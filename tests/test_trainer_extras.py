@@ -95,3 +95,33 @@ def test_evaluate_checkpoint_pr_and_is(mnist_run):
         num_fake_samples=32, featurizer=featurizer, batch_size=16,
     )
     assert is_res["scores"]["0"] > 0
+
+
+def test_logit_buffer_survives_restart(tmp_path):
+    """A mid-window restart must keep previously recorded snapshots."""
+    root = tmp_path / "d"
+    ds = get_predefined_dataset("color_mnist", root, major_ratio=0.9,
+                                num_data=32, seed=0)
+    bundle = get_gan_model("color_mnist", loss_type="ns")
+    common = dict(
+        bundle=bundle, dataset=ds, n_dis=1, batch_size=8, print_steps=2,
+        vis_steps=100, log_steps=2, save_steps=4, logit_save_steps=2,
+        save_logit_after=0, stop_save_logit_after=100, save_logits=True,
+        seed=0, output_path=tmp_path / "exp", log_dir=tmp_path / "exp",
+    )
+    tr = LogTrainer(num_steps=4, **common)
+    tr.train()
+    assert tr.recorder.count == 2  # steps 2, 4
+    # "restart": new trainer resuming from the step-4 checkpoints
+    tr2 = LogTrainer(
+        num_steps=8,
+        netG_ckpt_file=str(tmp_path / "exp/checkpoints/netG/netG_4_steps.pth"),
+        netD_ckpt_file=str(tmp_path / "exp/checkpoints/netD/netD_4_steps.pth"),
+        **common,
+    )
+    assert tr2.recorder.count == 2  # restored from logit_buffer.npz
+    tr2.train()
+    import pickle
+
+    logits = pickle.load(open(tmp_path / "exp/logits_netD_eval.pkl", "rb"))
+    assert sorted(logits) == [2, 4, 6, 8]
