@@ -43,11 +43,13 @@ def _init_states(bundle, seed=0):
 
 def make_gen_fn(bundle, g_state):
     """Jitted eval-mode z -> images closure."""
+    noise_key = jax.random.key(0)  # StyleGAN2 per-layer noise injection
 
     @jax.jit
     def gen_fn(z):
         return bundle.gen.apply(
-            {"params": g_state.params, **g_state.state}, z, train=False
+            {"params": g_state.params, **g_state.state}, z, train=False,
+            rngs={"noise": noise_key},
         )
 
     return gen_fn
@@ -93,6 +95,9 @@ def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
     """Restore G (and the DRS discriminator) at a step. Returns
     (g_state, d_drs_state_or_None)."""
     log_dir = Path(log_dir)
+    if bundle.model == "stylegan":
+        return _load_stylegan2_eval_models(bundle, log_dir, evaluate_step,
+                                           use_drs)
     g_state, d_state, d_drs_state = _init_states(bundle)
     g_path = log_dir / "checkpoints" / "netG" / f"netG_{evaluate_step}_steps.pth"
     assert g_path.is_file(), f"missing {g_path}"
@@ -106,6 +111,33 @@ def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
     d_path = d_dir / name / f"{name}_{evaluate_step}_steps.pth"
     assert d_path.is_file(), f"missing {d_path}"
     d_drs_state = ckpt.restore_net(d_drs_state or d_state, d_path)
+    return g_state, d_drs_state
+
+
+def _load_stylegan2_eval_models(bundle, log_dir, evaluate_step, use_drs):
+    """StyleGAN2 checkpoints are monolithic dicts {iter:06d}.pt; sampling
+    uses g_ema and DRS uses drs_d falling back to d — parity with reference
+    evaluate.py:240-244 / eval_gan_drs.py:91-108."""
+    import numpy as np
+
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    tr = StyleGAN2Trainer(
+        "/tmp/_sg2_eval", bundle.gen, bundle.disc,
+        np.zeros((4, bundle.image_size, bundle.image_size, 3), np.uint8),
+        num_steps=1, batch_size=2,
+        drs_disc=bundle.disc_drs if use_drs else None,
+    )
+    path = Path(log_dir) / "checkpoint" / f"{evaluate_step:06d}.pt"
+    assert path.is_file(), f"missing {path}"
+    tr.load_ckpt(path)
+    from diagan_tpu.train.state import NetState
+
+    g_state = NetState(tr.g_ema, {}, None, jnp.asarray(evaluate_step))
+    d_drs_state = (
+        NetState(tr.d_drs_state.params, {}, None, jnp.asarray(evaluate_step))
+        if use_drs else None
+    )
     return g_state, d_drs_state
 
 

@@ -33,7 +33,6 @@ class ConvBN(nn.Module):
     kernel: tuple
     strides: tuple = (1, 1)
     padding: str | tuple = "VALID"
-
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
@@ -183,6 +182,39 @@ class InceptionFeaturizer:
 
         self._fwd = fwd
 
+        # A randomly-initialized deep net emits features at a tiny, nearly
+        # degenerate scale (activations shrink through ~90 conv+BN layers).
+        # They still discriminate, but float precision suffers downstream
+        # (cov/sqrtm). For the random fallback, standardize per-dimension
+        # with a fixed affine computed once from a deterministic probe so
+        # features are O(1); loaded weights pass through unchanged.
+        self._feat_shift = None
+        self._feat_scale = None
+        if self.weights_kind == "random":
+            # probe spans noise AND structured content so the affine's scale
+            # reflects natural-image feature ranges, not just iid noise
+            k1, k2 = jax.random.split(jax.random.key(1))
+            noise = jax.random.uniform(k1, (16, 64, 64, 3), minval=-1, maxval=1)
+            smooth = jax.image.resize(
+                jax.random.uniform(k2, (16, 8, 8, 3), minval=-1, maxval=1),
+                (16, 64, 64, 3), "bilinear",
+            )
+            yy = jnp.linspace(-1, 1, 64)[None, :, None, None]
+            ramps = jnp.tile(yy, (8, 1, 64, 3)) * jnp.linspace(
+                0.25, 1, 8
+            )[:, None, None, None]
+            flat = jnp.ones((8, 64, 64, 3)) * jnp.linspace(
+                -1, 1, 8
+            )[:, None, None, None]
+            probe = jnp.concatenate([noise, smooth, ramps, flat])
+            pf, _ = self._fwd(probe)
+            pf = np.asarray(pf, np.float64)
+            self._feat_shift = pf.mean(0)
+            self._feat_scale = 1.0 / (pf.std(0) + 1e-12)
+            # tame the overall magnitude: unit RMS over the probe set
+            z = (pf - self._feat_shift) * self._feat_scale
+            self._feat_scale = self._feat_scale / np.sqrt((z**2).mean() + 1e-12)
+
     def features_and_logits(self, images):
         """images: float [-1,1] NHWC (any size) or uint8 -> (pool3, logits)."""
         images = np.asarray(images)
@@ -200,6 +232,8 @@ class InceptionFeaturizer:
             logits.append(np.asarray(l))
         feats = np.concatenate(feats)[:n]
         logits = np.concatenate(logits)[:n]
+        if self._feat_scale is not None:
+            feats = (feats - self._feat_shift) * self._feat_scale
         return feats, logits
 
     def features(self, images):
