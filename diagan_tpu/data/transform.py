@@ -45,3 +45,12 @@ def grayscale_to_rgb(images: np.ndarray) -> np.ndarray:
     if images.shape[-1] == 1:
         images = np.repeat(images, 3, axis=-1)
     return images
+
+
+def remove_outliers(images: np.ndarray, z_thresh: float = 3.0) -> np.ndarray:
+    """Drop images whose mean intensity is a z-score outlier — numpy
+    equivalent of the reference's unused cv2 helper
+    (diagan-pkg/diagan/datasets/utils.py:4-21)."""
+    means = images.reshape(len(images), -1).mean(1).astype(np.float64)
+    z = np.abs(means - means.mean()) / (means.std() + 1e-12)
+    return images[z < z_thresh]

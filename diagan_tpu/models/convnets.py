@@ -65,3 +65,17 @@ class AttrClassifier(nn.Module):
         h = nn.relu(nn.Dense(512)(feat))
         h = nn.Dropout(0.5, deterministic=not train)(h)
         return nn.Dense(self.num_attrs)(h), feat
+
+
+class Simple3DNet(nn.Module):
+    """3-channel-aware variant kept for surface parity with the reference's
+    convnets module (diagan-pkg/diagan/models/convnets.py); identical
+    topology to SimpleConvNet with kernel 3."""
+
+    num_labels: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return SimpleConvNet(num_labels=self.num_labels, kernel_size=3)(
+            x, train=train
+        )
