@@ -94,6 +94,18 @@ class DRS:
             result = np.clip((result + 1) * 127.5, 0, 255).astype(np.uint8)
         return result
 
+    def visualize_images(self, save_path, num_images=64, name="drs_samples"):
+        """Grid dump of DRS-accepted samples (reference evaluate.py:85-95)."""
+        from pathlib import Path
+
+        from diagan_tpu.train.logger import save_image_grid
+
+        imgs = self.generate_images(num_images)
+        path = Path(save_path) / f"{name}.png"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        save_image_grid(imgs, path, nrow=8)
+        return path
+
     def acceptance_rate_probe(self, num_batches=10):
         """Empirical acceptance fraction (sanity: ~0.2 at percentile 80)."""
         total, acc = 0, 0
