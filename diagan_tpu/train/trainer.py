@@ -352,8 +352,22 @@ class LogTrainer:
                         (now - start_time) / max(1, size),
                     )
                     start_time = now
-                if step % self.vis_steps == 0 and self.bundle.image_size:
-                    self.logger.vis_images(step, self.generate_images())
+                if step % self.vis_steps == 0:
+                    if self.bundle.image_size:
+                        self.logger.vis_images(step, self.generate_images())
+                    elif self.bundle.dataset == "25gaussian":
+                        # scatter diagnostic (reference trainer.py:318-322)
+                        from diagan_tpu.utils.plot import plot_gaussian_samples
+
+                        z = jax.random.normal(
+                            jax.random.fold_in(self.key, 10**6 + step),
+                            (1000, self.bundle.nz),
+                        )
+                        plot_gaussian_samples(
+                            np.asarray(self.generate_images(z=z)),
+                            self.log_dir / "images", step,
+                            real_points=self.source.dataset.images[:1000],
+                        )
                 if self._logit_window(step):
                     print(f"INFO: logit saving at step {step}...")
                     self._record_logits(step)
