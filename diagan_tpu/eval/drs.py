@@ -21,7 +21,6 @@ computed on device via sort.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

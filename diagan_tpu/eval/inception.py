@@ -20,7 +20,6 @@ Input convention: float images in [-1, 1], NHWC, any spatial size
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import flax.linen as nn
 import jax

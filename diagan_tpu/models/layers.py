@@ -11,7 +11,6 @@ sqrt(2) on block convs and gain 1 on shortcut/output layers.
 from __future__ import annotations
 
 import math
-from typing import Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

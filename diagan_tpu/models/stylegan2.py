@@ -27,7 +27,6 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diagan_tpu.ops import fused_leaky_relu, make_resample_kernel, upfirdn2d
 

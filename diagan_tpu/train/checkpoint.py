@@ -13,7 +13,6 @@ import os
 from pathlib import Path
 
 import jax
-import numpy as np
 from flax import serialization
 
 

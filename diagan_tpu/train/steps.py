@@ -22,8 +22,7 @@ Loss-level switches implemented here (vs. the reference's mixin classes):
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

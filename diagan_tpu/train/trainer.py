@@ -19,7 +19,6 @@ SIGTERM (TPU preemption) both flush checkpoints + logit pickles.
 """
 from __future__ import annotations
 
-import math
 import signal
 import time
 from pathlib import Path
