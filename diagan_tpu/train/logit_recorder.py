@@ -39,14 +39,19 @@ class LogitRecorder:
 
     def _build_sweep(self, d_fwd, quantized):
         @jax.jit
-        def sweep(params, state, images, buffer, slot):
+        def sweep(params, state, images, buffer, slot, key):
             def body(carry, xs):
                 buf = carry
-                idx, mask = xs
+                idx, mask, batch_i = xs
                 batch = jnp.take(images, idx, axis=0)
                 if quantized:
                     batch = batch.astype(jnp.float32) / 127.5 - 1.0
-                (logits, _), _ = d_fwd(params, state, batch)
+                # per-batch rng: train-mode sweeps resample dropout like the
+                # reference's stochastic forwards (a fixed mask shifts logit
+                # levels and saturates the ldr_conf clip downstream)
+                (logits, _), _ = d_fwd(
+                    params, state, batch, jax.random.fold_in(key, batch_i)
+                )
                 # padding lanes scatter out-of-bounds and are dropped, so a
                 # padded duplicate of a real index can never clobber it
                 idx_eff = jnp.where(mask, idx, self.num_data)
@@ -55,25 +60,30 @@ class LogitRecorder:
 
             row, _ = jax.lax.scan(
                 body, jnp.zeros((self.num_data,), jnp.float32),
-                (self._idx, self._mask),
+                (self._idx, self._mask,
+                 jnp.arange(self._idx.shape[0], dtype=jnp.int32)),
             )
             return buffer.at[slot].set(row)
 
         return sweep
 
     def record(self, d_fwd, params, state, images, global_step: int,
-               quantized: bool = True):
+               quantized: bool = True, key=None):
         """Run a full-dataset D sweep and store it in the next buffer slot.
 
-        d_fwd(params, state, batch) -> ((logits, aux), new_state) in eval
-        mode (update_stats=False); the recorder never mutates D state —
-        matching the reference's eval_mode sweep (trainer.py:142-148).
+        d_fwd(params, state, batch, rng) -> ((logits, aux), new_state) with
+        update_stats=False; the recorder never mutates D state — matching
+        the reference's sweep (trainer.py:142-148).
         """
         if self.count >= self.max_snapshots:
             raise RuntimeError("logit buffer full; raise max_snapshots")
         if self._sweep is None:
             self._sweep = self._build_sweep(d_fwd, quantized)
-        self.buffer = self._sweep(params, state, images, self.buffer, self.count)
+        if key is None:
+            key = jax.random.key(int(global_step))
+        self.buffer = self._sweep(
+            params, state, images, self.buffer, self.count, key
+        )
         self.steps[self.count] = int(global_step)
         self.count += 1
 

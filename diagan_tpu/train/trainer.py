@@ -237,23 +237,23 @@ class LogTrainer:
             d_state, name, dmod = self.d_state, "netD", self.bundle.disc
         mode = "eval" if self.save_eval_logits else "train"
         if self._record_fwd is None:
-            drop_key = jax.random.key(self.seed + 2)
 
-            def fwd(params, state, batch):
+            def fwd(params, state, batch, rng):
                 if mode == "train" and state:
-                    # train-mode sweep: BN uses batch statistics; the
-                    # collection updates are computed then discarded (the
-                    # reference's no_grad train-mode forward, trainer.py:147)
+                    # train-mode sweep: BN uses batch statistics and dropout
+                    # is live (fresh per-batch rng); collection updates are
+                    # computed then discarded (the reference's no_grad
+                    # train-mode forward, trainer.py:147)
                     out, _ = dmod.apply(
                         {"params": params, **state}, batch,
                         update_stats=False, train=True,
-                        mutable=list(state.keys()), rngs={"dropout": drop_key},
+                        mutable=list(state.keys()), rngs={"dropout": rng},
                     )
                 else:
                     out = dmod.apply(
                         {"params": params, **state}, batch,
                         update_stats=False, train=False,
-                        rngs={"dropout": drop_key},
+                        rngs={"dropout": rng},
                     )
                 return out, state
 
@@ -262,6 +262,7 @@ class LogTrainer:
         self.recorder.record(
             self._record_fwd, d_state.params, d_state.state,
             self.source.images, step, quantized=self.source._quantized,
+            key=jax.random.fold_in(jax.random.key(self.seed + 2), step),
         )
 
     def _save_checkpoints(self, step):

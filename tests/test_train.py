@@ -117,7 +117,7 @@ def test_logit_recorder_scatter():
     images = np.random.default_rng(0).integers(0, 255, (N, 4, 4, 1), np.uint8)
     rec = LogitRecorder(N, 2, batch_size=8)
 
-    def fake_d(params, state, batch):
+    def fake_d(params, state, batch, rng):
         return (jnp.mean(batch, axis=(1, 2, 3)), {}), state
 
     rec.record(fake_d, None, {}, jnp.asarray(images), 7, quantized=True)
