@@ -46,7 +46,12 @@ def main():
         resample_exp_path / f"cae_checkpoints/{args.p2_step}_steps_seed{args.seed}/cae_training_loss.npy"
     )[:, -1]
 
-    with open(baseline_exp_path / "logits_netD_eval.pkl", "rb") as f:
+    # the reference hardcodes the eval-mode pickle (eval_ae_score.py:38)
+    # although the MNIST phase-1 scripts record train-mode logits; fall back
+    logit_path = baseline_exp_path / "logits_netD_eval.pkl"
+    if not logit_path.is_file():
+        logit_path = baseline_exp_path / "logits_netD_train.pkl"
+    with open(logit_path, "rb") as f:
         logits = pickle.load(f)
     score_dict = calculate_scores(
         logits, start_epoch=args.p1_step - 5000, end_epoch=args.p1_step
