@@ -159,9 +159,8 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
         )
 
     def g_step(g_state: NetState, d_state: NetState, z, rng, topk_rate, aux):
-        aux_metrics = {}
-
         def loss_fn(params):
+            aux_metrics = {}
             fakes, new_g_state = gen_fwd(params, g_state.state, z, rng, mutable=True)
             (lf_, aux_f), new_d_state = d_fwd(
                 d_state.params, d_state.state, fakes, rng, True
@@ -183,11 +182,10 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
                 )
             if g_aux_loss is not None:
                 loss = loss + g_aux_loss(params, gen_fwd, rng, aux, aux_metrics)
-            return loss, (new_g_state, new_d_state)
+            return loss, (new_g_state, new_d_state, aux_metrics)
 
-        (loss, (new_g_collections, new_d_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(g_state.params)
+        (loss, (new_g_collections, new_d_state, aux_metrics)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(g_state.params)
         if cfg.axis_name:
             grads = jax.lax.pmean(grads, cfg.axis_name)
         updates, new_opt = tx_g.update(grads, g_state.opt_state, g_state.params)

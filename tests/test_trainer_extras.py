@@ -125,3 +125,24 @@ def test_logit_buffer_survives_restart(tmp_path):
 
     logits = pickle.load(open(tmp_path / "exp/logits_netD_eval.pkl", "rb"))
     assert sorted(logits) == [2, 4, 6, 8]
+
+
+def test_inclusive_trainer_smoke(tmp_path):
+    """Inclusive-GAN aux losses must flow through the fused step (regression
+    for the aux-metrics tracer leak)."""
+    from diagan_tpu.eval.inception import InceptionFeaturizer
+    from diagan_tpu.train.inclusive import InclusiveTrainer
+
+    ds = get_predefined_dataset("color_mnist", tmp_path / "d",
+                                major_ratio=0.9, num_data=32, seed=0)
+    bundle = get_gan_model("color_mnist", loss_type="ns")
+    tr = InclusiveTrainer(
+        output_path=tmp_path / "exp", bundle=bundle, dataset=ds,
+        num_steps=2, n_dis=1, batch_size=4, print_steps=1, vis_steps=100,
+        log_steps=1, save_steps=2, save_logits=False, seed=0,
+        featurizer=InceptionFeaturizer(batch_size=8),
+        latent_factor=2,
+    )
+    tr.train()
+    assert tr.global_step == 2
+    assert tr.nearest_latent.shape == (32, bundle.nz)
