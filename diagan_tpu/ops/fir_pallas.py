@@ -46,13 +46,22 @@ def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
     oh = hp - kh + 1
     ow = wp - kw + 1
     owc = ow * c
-    tiles = _cdiv(oh, tile_h)
     # Mosaic alignment: DMA slab row-count must be a sublane multiple (8)
     # and the lane dimension a multiple of 128 — pad rows and lanes; the
     # padding is zeros and sliced away after the kernel.
-    slab = -(-(tile_h + kh - 1) // 8) * 8
     owc_p = -(-owc // 128) * 128
-    wpc_p = max(-(-wpc // 128) * 128, (kw - 1) * c + owc_p)
+    wpc_p = -(-max(wpc, (kw - 1) * c + owc_p) // 128) * 128
+
+    # VMEM budget: scratch slab + double-buffered output block must fit
+    # comfortably under the ~16MB scoped limit; shrink tile_h for wide rows.
+    def footprint(th):
+        slab_rows = -(-(th + kh - 1) // 8) * 8
+        return 4 * (slab_rows * wpc_p + 2 * th * owc_p)
+
+    while tile_h > 8 and footprint(tile_h) > 8 * 1024 * 1024:
+        tile_h //= 2
+    tiles = _cdiv(oh, tile_h)
+    slab = -(-(tile_h + kh - 1) // 8) * 8
     need_rows = (tiles - 1) * tile_h + slab
     xp = jnp.pad(
         xp, ((0, 0), (0, max(0, need_rows - hp)), (0, wpc_p - wpc))
@@ -95,8 +104,64 @@ def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
 def upfirdn2d_pallas(x, kernel, up=1, down=1, pad=(0, 0), tile_h=16,
                      interpret=False):
     """upfirdn2d with the Pallas FIR core. NHWC; same semantics as
-    diagan_tpu.ops.upfirdn2d.upfirdn2d. `kernel` must be concrete (not a
-    jit tracer) — resampling taps are static in every model call site."""
+    diagan_tpu.ops.upfirdn2d.upfirdn2d, differentiable via the g_pad custom
+    VJP (backward is another Pallas FIR with swapped up/down and flipped
+    taps — reference op/upfirdn2d.py:111-116). `kernel` must be concrete
+    (not a jit tracer) — resampling taps are static in every call site."""
+    karr = np.asarray(kernel)
+    if isinstance(up, (tuple, list)):
+        up = tuple(int(v) for v in up)
+    else:
+        up = (int(up), int(up))
+    if isinstance(down, (tuple, list)):
+        down = tuple(int(v) for v in down)
+    else:
+        down = (int(down), int(down))
+    if len(pad) == 2:
+        pad = (int(pad[0]), int(pad[1]), int(pad[0]), int(pad[1]))
+    else:
+        pad = tuple(int(v) for v in pad)
+    return _upfirdn2d_pallas_vjp(
+        x, tuple(map(tuple, karr.tolist())), up, down, pad, tile_h, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _upfirdn2d_pallas_vjp(x, ktup, up, down, pad, tile_h, interpret):
+    return _upfirdn2d_pallas_raw(x, np.asarray(ktup), up, down, pad, tile_h,
+                                 interpret)
+
+
+def _vjp_fwd(x, ktup, up, down, pad, tile_h, interpret):
+    out = _upfirdn2d_pallas_vjp(x, ktup, up, down, pad, tile_h, interpret)
+    return out, (x.shape, out.shape)
+
+
+def _vjp_bwd(ktup, up, down, pad, tile_h, interpret, res, g):
+    in_shape, out_shape = res
+    karr = np.asarray(ktup)
+    kh, kw = karr.shape
+    up_x, up_y = up
+    down_x, down_y = down
+    p_x0, p_x1, p_y0, p_y1 = pad
+    in_h, in_w = in_shape[1], in_shape[2]
+    out_h, out_w = out_shape[1], out_shape[2]
+    g_px0 = kw - p_x0 - 1
+    g_py0 = kh - p_y0 - 1
+    g_px1 = in_w * up_x - out_w * down_x + p_x0 - up_x + 1
+    g_py1 = in_h * up_y - out_h * down_y + p_y0 - up_y + 1
+    dx = _upfirdn2d_pallas_raw(
+        g, karr[::-1, ::-1], (down_x, down_y), (up_x, up_y),
+        (g_px0, g_px1, g_py0, g_py1), tile_h, interpret,
+    )
+    return (dx,)
+
+
+_upfirdn2d_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _upfirdn2d_pallas_raw(x, kernel, up, down, pad, tile_h=16,
+                          interpret=False):
     if isinstance(up, (tuple, list)):
         up_x, up_y = up
     else:

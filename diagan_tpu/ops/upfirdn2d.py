@@ -151,6 +151,18 @@ def _upfirdn2d_bwd(up, down, pad, res, g):
 _upfirdn2d.defvjp(_upfirdn2d_fwd, _upfirdn2d_bwd)
 
 
+# Global implementation switch: "xla" (pad + strided-FMA, default) or
+# "pallas" (halo-DMA VMEM kernel; requires concrete FIR taps). Set via
+# set_backend — model code is backend-agnostic.
+_BACKEND = "xla"
+
+
+def set_backend(name: str):
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
 def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     """Fused upsample-FIR-downsample on NHWC input.
 
@@ -164,6 +176,10 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     Returns:
       (N, H', W', C) with H' = (H*up + pad0 + pad1 - kh)//down + 1.
     """
+    if _BACKEND == "pallas":
+        from diagan_tpu.ops.fir_pallas import upfirdn2d_pallas
+
+        return upfirdn2d_pallas(x, kernel, up=up, down=down, pad=pad)
     up_x, up_y = _as_pair(up)
     down_x, down_y = _as_pair(down)
     if len(pad) == 2:

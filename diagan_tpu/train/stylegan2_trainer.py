@@ -259,12 +259,16 @@ class StyleGAN2Trainer:
                 return NetState(params, {}, opt, d_state.step), {"r1": pen}
             return step
 
-        self._d_step = self._jit(d_step_for(self.disc, self.tx_d, True), 4)
-        self._d_r1 = self._jit(d_r1_for(self.disc, self.tx_d, True), 3)
-        if self.drs_disc is not None:
-            self._drs_step = self._jit(
-                d_step_for(self.drs_disc, self.tx_d, False), 4)
-            self._drs_r1 = self._jit(d_r1_for(self.drs_disc, self.tx_d, False), 3)
+        d_plain = d_step_for(self.disc, self.tx_d, True)
+        drs_plain = (
+            d_step_for(self.drs_disc, self.tx_d, False)
+            if self.drs_disc is not None else None
+        )
+        d_r1_raw = d_r1_for(self.disc, self.tx_d, True)
+        drs_r1_raw = (
+            d_r1_for(self.drs_disc, self.tx_d, False)
+            if self.drs_disc is not None else None
+        )
 
         def g_step(g_state, g_ema, d_params, key):
             key = self._maybe_fold(key)
@@ -286,7 +290,80 @@ class StyleGAN2Trainer:
                 NetState(params, {}, opt, g_state.step + 1), g_ema, {"g": loss}
             )
 
-        self._g_step = self._jit(g_step, 4)
+        # Fused step (D [+DRS-D] [+R1] + G [+path reg] + EMA) scanned in
+        # chunks: on this platform each dispatch costs O(100ms)+, so the
+        # 3-6 programs/step of a naive loop dominate wall clock. The lazy
+        # regularizers fire inside the scan via lax.cond at the reference
+        # cadence and intra-step position (d -> r1 -> g -> path,
+        # reference train_ffhq.py:212-311), letting one dispatch cover
+        # the full stretch between logging boundaries.
+        def full_step(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                      ada_p, gstep):
+            kd, kdd, kg, kr1, kpl = jax.random.split(key, 5)
+            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p)
+            if drs_plain is not None:
+                d_drs_state, _ = drs_plain(
+                    d_drs_state, g_state.params, kdd, ada_p
+                )
+
+            def with_r1(args):
+                d, dd = args
+                d, rm = d_r1_raw(d, kr1, ada_p)
+                if drs_r1_raw is not None:
+                    dd, _ = drs_r1_raw(dd, kr1, ada_p)
+                return d, dd, rm["r1"]
+
+            def no_r1(args):
+                d, dd = args
+                return d, dd, jnp.zeros(())
+
+            d_state, d_drs_state, r1_pen = jax.lax.cond(
+                gstep % self.d_reg_every == 0, with_r1, no_r1,
+                (d_state, d_drs_state),
+            )
+
+            g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg)
+
+            def with_path(args):
+                g, ema, plm = args
+                g, ema, new_m, pm = g_path_reg(g, ema, kpl, plm)
+                return g, ema, new_m, pm["path"]
+
+            def no_path(args):
+                g, ema, plm = args
+                return g, ema, plm, jnp.zeros(())
+
+            g_state, g_ema, pl_mean, path_pen = jax.lax.cond(
+                gstep % self.g_reg_every == 0, with_path, no_path,
+                (g_state, g_ema, pl_mean),
+            )
+            metrics = {**dm, **gm, "r1": r1_pen, "path": path_pen}
+            return g_state, d_state, d_drs_state, g_ema, pl_mean, metrics
+
+        self._plain_chunks = {}
+
+        def make_chunk(n):
+            def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                      ada_p, start_step):
+                def body(carry, i):
+                    g, d, dd, ema, plm = carry
+                    g, d, dd, ema, plm, m = full_step(
+                        g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                        ada_p, start_step + i,
+                    )
+                    return (g, d, dd, ema, plm), m
+
+                (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
+                    jax.lax.scan(
+                        body,
+                        (g_state, d_state, d_drs_state, g_ema, pl_mean),
+                        jnp.arange(n, dtype=jnp.int32),
+                    )
+                return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
+
+            return self._jit(chunk, 8)
+
+        self._make_chunk = make_chunk
 
         def g_path_reg(g_state, g_ema, key, pl_mean):
             key = self._maybe_fold(key)
@@ -338,7 +415,7 @@ class StyleGAN2Trainer:
                 {"path": pen, "path_length": jnp.mean(lengths)},
             )
 
-        self._g_path_reg = self._jit(g_path_reg, 4)
+
 
     # ------------------------------------------------------------------
     def _record_logits(self, step, batch=64):
@@ -437,37 +514,39 @@ class StyleGAN2Trainer:
         self.ada_aug_p = float(payload.get("ada_aug_p", 0.0))
         return int(payload.get("step", 0))
 
+    def _next_boundary(self, step):
+        periods = [self.log_every, self.save_every]
+        if self.logit_save_steps:
+            periods.append(self.logit_save_steps)
+        nxt = self.num_steps
+        for p_ in periods:
+            nxt = min(nxt, (step // p_ + 1) * p_)
+        return nxt
+
     def train(self, start_step=0):
-        for step in range(start_step, self.num_steps):
-            self.key, kd, kdd, kg, kr = jax.random.split(self.key, 5)
-            self.d_state, dm = self._d_step(
-                self.d_state, self.g_state.params, kd, self.ada_aug_p
+        """Host loop: everything between logging/checkpoint boundaries —
+        plain updates AND the lazy regularizers at their exact reference
+        cadence/order — runs as one scanned dispatch."""
+        step = start_step
+        while step < self.num_steps:
+            self.key, kc = jax.random.split(self.key)
+            n = self._next_boundary(step) - step
+            if n not in self._plain_chunks:
+                self._plain_chunks[n] = self._make_chunk(n)
+            (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+             self.pl_mean, ms) = self._plain_chunks[n](
+                self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+                self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
             )
-            if self.drs_disc is not None:
-                self.d_drs_state, _ = self._drs_step(
-                    self.d_drs_state, self.g_state.params, kdd, self.ada_aug_p
-                )
+            signs = np.asarray(ms["sign_real"])
             if self.ada is not None:
-                self.ada_aug_p = self.ada.tune(
-                    float(dm["sign_real"]), self.batch_size
-                )
-            metrics = {k: float(v) for k, v in dm.items() if k != "sign_real"}
-            if step % self.d_reg_every == 0:
-                self.d_state, rm = self._d_r1(self.d_state, kr, self.ada_aug_p)
-                if self.drs_disc is not None:
-                    self.d_drs_state, _ = self._drs_r1(
-                        self.d_drs_state, kr, self.ada_aug_p
-                    )
-                metrics["r1"] = float(rm["r1"])
-            self.g_state, self.g_ema, gm = self._g_step(
-                self.g_state, self.g_ema, self.d_state.params, kg
-            )
-            metrics.update({k: float(v) for k, v in gm.items()})
-            if step % self.g_reg_every == 0:
-                self.g_state, self.g_ema, self.pl_mean, pm = self._g_path_reg(
-                    self.g_state, self.g_ema, kr, self.pl_mean
-                )
-                metrics.update({k: float(v) for k, v in pm.items()})
+                for v in signs:
+                    self.ada_aug_p = self.ada.tune(float(v), self.batch_size)
+            metrics = {
+                k: float(np.asarray(v)[-1]) for k, v in ms.items()
+                if k != "sign_real"
+            }
+            step += n
 
             if step % self.log_every == 0:
                 parts = "; ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
@@ -475,12 +554,12 @@ class StyleGAN2Trainer:
                       flush=True)
             if (
                 self.logit_save_steps
-                and step > 0
                 and step % self.logit_save_steps == 0
                 and self.save_logit_after <= step <= self.stop_save_logit_after
+                and step < self.num_steps
             ):
                 self._record_logits(step)
-            if step > 0 and step % self.save_every == 0:
+            if step % self.save_every == 0 and step < self.num_steps:
                 self._save_ckpt(step)
         self._save_ckpt(self.num_steps)
         return self
