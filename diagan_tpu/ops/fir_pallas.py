@@ -58,7 +58,9 @@ def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
         slab_rows = -(-(th + kh - 1) // 8) * 8
         return 4 * (slab_rows * wpc_p + 2 * th * owc_p)
 
-    while tile_h > 8 and footprint(tile_h) > 8 * 1024 * 1024:
+    # Mosaic's true scoped-vmem usage runs ~2x this estimate (pipeline
+    # buffers + vector temps), so budget conservatively.
+    while tile_h > 8 and footprint(tile_h) > 4 * 1024 * 1024:
         tile_h //= 2
     tiles = _cdiv(oh, tile_h)
     slab = -(-(tile_h + kh - 1) // 8) * 8
@@ -150,8 +152,11 @@ def _vjp_bwd(ktup, up, down, pad, tile_h, interpret, res, g):
     g_py0 = kh - p_y0 - 1
     g_px1 = in_w * up_x - out_w * down_x + p_x0 - up_x + 1
     g_py1 = in_h * up_y - out_h * down_y + p_y0 - up_y + 1
-    dx = _upfirdn2d_pallas_raw(
-        g, karr[::-1, ::-1], (down_x, down_y), (up_x, up_y),
+    # the backward is itself the wrapped op, so higher-order autodiff
+    # (R1's grad-of-grad through D) keeps differentiating cleanly
+    dx = _upfirdn2d_pallas_vjp(
+        g, tuple(map(tuple, karr[::-1, ::-1].tolist())),
+        (down_x, down_y), (up_x, up_y),
         (g_px0, g_px1, g_py0, g_py1), tile_h, interpret,
     )
     return (dx,)
