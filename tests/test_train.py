@@ -130,3 +130,24 @@ def test_logit_recorder_scatter():
     rec2.load_state_dict(rec.state_dict())
     assert rec2.count == 1
     np.testing.assert_allclose(np.asarray(rec2.buffer), np.asarray(rec.buffer))
+
+
+def test_concat_d_pass_batch_decoupled():
+    """The fused real|fake D pass (steps.py concat_d) requires that the
+    SNGAN-family discriminators are batch-decoupled: D over a concatenated
+    batch must equal D over the halves separately (update_stats=False)."""
+    import jax
+
+    from diagan_tpu.models.sngan import SNGANDiscriminator32
+
+    disc = SNGANDiscriminator32(ndf=32)
+    k = jax.random.key(0)
+    x = jax.random.normal(k, (8, 32, 32, 3))
+    variables = disc.init({"params": k}, x[:2])
+    (l_all, _), = [disc.apply(variables, x, update_stats=False)]
+    (l_a, _), = [disc.apply(variables, x[:4], update_stats=False)]
+    (l_b, _), = [disc.apply(variables, x[4:], update_stats=False)]
+    np.testing.assert_allclose(
+        np.asarray(l_all), np.concatenate([np.asarray(l_a), np.asarray(l_b)]),
+        atol=1e-5,
+    )
