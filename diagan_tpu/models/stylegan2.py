@@ -37,13 +37,17 @@ def _equal_lr_init(lr_mul=1.0):
 
 class EqualDense(nn.Module):
     """Equalized-LR dense: weight stored at N(0, 1/lr_mul), scaled by
-    (1/sqrt(fan_in)) * lr_mul at use (reference model.py EqualLinear)."""
+    (1/sqrt(fan_in)) * lr_mul at use (reference model.py EqualLinear).
+
+    `dtype` is the compute dtype (params always stored fp32; cast at use —
+    the standard mixed-precision layout for TPU bf16)."""
 
     features: int
     lr_mul: float = 1.0
     use_bias: bool = True
     bias_init_val: float = 0.0
     activation: bool = False  # fused leaky relu on output
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -51,15 +55,16 @@ class EqualDense(nn.Module):
         scale = (1.0 / math.sqrt(in_features)) * self.lr_mul
         kernel = self.param("kernel", _equal_lr_init(self.lr_mul),
                             (in_features, self.features))
-        y = x @ (kernel * scale)
+        x = x.astype(self.dtype)
+        y = x @ (kernel * scale).astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.constant(self.bias_init_val),
                 (self.features,),
             )
             if self.activation:
-                return fused_leaky_relu(y, bias * self.lr_mul)
-            y = y + bias * self.lr_mul
+                return fused_leaky_relu(y, (bias * self.lr_mul).astype(self.dtype))
+            y = y + (bias * self.lr_mul).astype(self.dtype)
         return y
 
 
@@ -69,6 +74,7 @@ class EqualConv(nn.Module):
     strides: int = 1
     padding: str | Sequence = "SAME"
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -78,12 +84,13 @@ class EqualConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.normal(1.0),
                             (k, k, in_features, self.features))
         y = jax.lax.conv_general_dilated(
-            x, kernel * scale, (self.strides, self.strides), self.padding,
+            x.astype(self.dtype), (kernel * scale).astype(self.dtype),
+            (self.strides, self.strides), self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -110,6 +117,7 @@ class ModulatedConv(nn.Module):
     upsample: bool = False
     downsample: bool = False
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, style):
@@ -118,17 +126,20 @@ class ModulatedConv(nn.Module):
         scale = 1.0 / math.sqrt(c_in * k * k)
         kernel = self.param("kernel", nn.initializers.normal(1.0),
                             (k, k, c_in, self.features))
-        # style -> per-input-channel scale, init to 1
+        # style -> per-input-channel scale, init to 1 (fp32: tiny compute,
+        # and the demod statistics below want full precision)
         s = EqualDense(c_in, bias_init_val=1.0, name="modulation")(style)
+        s = s.astype(jnp.float32)
 
-        w_eff = kernel * scale  # (k,k,cin,cout), shared
+        w_eff = kernel * scale  # (k,k,cin,cout), shared, fp32
         if self.demodulate:
-            # d_n = 1/sqrt(sum_{k,cin} (w*s_n)^2)
+            # d_n = 1/sqrt(sum_{k,cin} (w*s_n)^2), accumulated in fp32
             w2 = jnp.sum(w_eff**2, axis=(0, 1))  # (cin, cout)
             sigma = jnp.einsum("nc,cf->nf", s**2, w2)  # (n, cout)
-            demod = jax.lax.rsqrt(sigma + 1e-8)
+            demod = jax.lax.rsqrt(sigma + 1e-8).astype(self.dtype)
         # conv(x * s_n, w) == conv(x, w * s_n)
-        xs = x * s[:, None, None, :]
+        xs = x.astype(self.dtype) * s[:, None, None, :].astype(self.dtype)
+        w_eff = w_eff.astype(self.dtype)
 
         if self.upsample:
             # transposed conv x2 (VALID: out = 2*in + k - 2) then blur;
@@ -166,9 +177,9 @@ class NoiseInjection(nn.Module):
         weight = self.param("weight", nn.initializers.zeros, ())
         if noise is None:
             noise = jax.random.normal(
-                self.make_rng("noise"), x.shape[:3] + (1,)
+                self.make_rng("noise"), x.shape[:3] + (1,), dtype=x.dtype
             )
-        return x + weight * noise
+        return x + weight.astype(x.dtype) * noise.astype(x.dtype)
 
 
 class StyledConv(nn.Module):
@@ -176,27 +187,30 @@ class StyledConv(nn.Module):
     kernel_size: int = 3
     upsample: bool = False
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, style, noise=None):
         y = ModulatedConv(
             self.features, self.kernel_size, upsample=self.upsample,
-            blur_kernel=self.blur_kernel, name="conv",
+            blur_kernel=self.blur_kernel, dtype=self.dtype, name="conv",
         )(x, style)
         y = NoiseInjection(name="noise")(y, noise)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return fused_leaky_relu(y, bias)
+        return fused_leaky_relu(y, bias.astype(y.dtype))
 
 
 class ToRGB(nn.Module):
     upsample: bool = True
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, style, skip=None):
-        y = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        y = ModulatedConv(3, 1, demodulate=False, dtype=self.dtype,
+                          name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (3,))
-        y = y + bias
+        y = y + bias.astype(y.dtype)
         if skip is not None:
             k = make_resample_kernel(list(self.blur_kernel)) * 4
             skip = upfirdn2d(skip, k, up=2, pad=(2, 1))
@@ -234,11 +248,13 @@ class SynthesisNetwork(nn.Module):
     style_dim: int = 512
     channel_multiplier: int = 2
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, styles_per_layer, noises=None):
         """styles_per_layer: (N, n_latent, style_dim) — one w per layer
-        (already broadcast/mixed by the Generator)."""
+        (already broadcast/mixed by the Generator). Runs in self.dtype
+        (bf16 supported); the RGB output is returned fp32."""
         ch = _channels(self.size, self.channel_multiplier)
         log_size = int(math.log2(self.size))
         num_layers = (log_size - 2) * 2 + 1
@@ -246,14 +262,16 @@ class SynthesisNetwork(nn.Module):
         const = self.param("input", nn.initializers.normal(1.0),
                            (1, 4, 4, ch[4]))
         n = styles_per_layer.shape[0]
-        x = jnp.tile(const, (n, 1, 1, 1))
+        x = jnp.tile(const.astype(self.dtype), (n, 1, 1, 1))
 
         li = 0
-        x = StyledConv(ch[4], blur_kernel=self.blur_kernel, name="conv1")(
+        x = StyledConv(ch[4], blur_kernel=self.blur_kernel,
+                       dtype=self.dtype, name="conv1")(
             x, styles_per_layer[:, li],
             None if noises is None else noises[0],
         )
-        skip = ToRGB(upsample=False, name="to_rgb1")(x, styles_per_layer[:, li + 1])
+        skip = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb1")(
+            x, styles_per_layer[:, li + 1])
         li += 1
 
         res = 8
@@ -261,18 +279,20 @@ class SynthesisNetwork(nn.Module):
         while res <= self.size:
             x = StyledConv(
                 ch[res], upsample=True, blur_kernel=self.blur_kernel,
-                name=f"conv_up_{res}",
+                dtype=self.dtype, name=f"conv_up_{res}",
             )(x, styles_per_layer[:, li],
               None if noises is None else noises[ni])
             x = StyledConv(
-                ch[res], blur_kernel=self.blur_kernel, name=f"conv_{res}",
+                ch[res], blur_kernel=self.blur_kernel, dtype=self.dtype,
+                name=f"conv_{res}",
             )(x, styles_per_layer[:, li + 1],
               None if noises is None else noises[ni + 1])
-            skip = ToRGB(name=f"to_rgb_{res}")(x, styles_per_layer[:, li + 2], skip)
+            skip = ToRGB(dtype=self.dtype, name=f"to_rgb_{res}")(
+                x, styles_per_layer[:, li + 2], skip)
             li += 2
             ni += 2
             res *= 2
-        return skip
+        return skip.astype(jnp.float32)
 
 
 class StyleGAN2Generator(nn.Module):
@@ -286,11 +306,13 @@ class StyleGAN2Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    dtype: jnp.dtype = jnp.float32  # synthesis compute dtype (mapping fp32)
 
     def setup(self):
         self.mapping = MappingNetwork(self.style_dim, self.n_mlp)
         self.synthesis = SynthesisNetwork(
-            self.size, self.style_dim, self.channel_multiplier
+            self.size, self.style_dim, self.channel_multiplier,
+            dtype=self.dtype,
         )
         log_size = int(math.log2(self.size))
         self.n_latent = log_size * 2 - 2
@@ -328,6 +350,7 @@ class ConvLayer(nn.Module):
     downsample: bool = False
     activate: bool = True
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -335,50 +358,55 @@ class ConvLayer(nn.Module):
             p = (len(self.blur_kernel) - 2) + (self.kernel_size - 1)
             x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2))(x)
             x = EqualConv(self.features, self.kernel_size, strides=2,
-                          padding="VALID", use_bias=not self.activate)(x)
+                          padding="VALID", use_bias=not self.activate,
+                          dtype=self.dtype)(x)
         else:
             x = EqualConv(self.features, self.kernel_size,
-                          use_bias=not self.activate)(x)
+                          use_bias=not self.activate, dtype=self.dtype)(x)
         if self.activate:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            x = fused_leaky_relu(x, bias)
+            x = fused_leaky_relu(x, bias.astype(x.dtype))
         return x
 
 
 class DResBlock(nn.Module):
     features: int
     blur_kernel: tuple = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = ConvLayer(x.shape[-1], 3)(x)
-        out = ConvLayer(self.features, 3, downsample=True)(out)
-        skip = ConvLayer(self.features, 1, downsample=True, activate=False)(x)
-        return (out + skip) / math.sqrt(2)
+        out = ConvLayer(x.shape[-1], 3, dtype=self.dtype)(x)
+        out = ConvLayer(self.features, 3, downsample=True,
+                        dtype=self.dtype)(out)
+        skip = ConvLayer(self.features, 1, downsample=True, activate=False,
+                         dtype=self.dtype)(x)
+        return ((out + skip) / math.sqrt(2)).astype(self.dtype)
 
 
 class StyleGAN2Discriminator(nn.Module):
     size: int = 256
     channel_multiplier: int = 2
     stddev_group: int = 4
+    dtype: jnp.dtype = jnp.float32  # backbone compute dtype (head fp32)
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
         ch = _channels(self.size, self.channel_multiplier)
         log_size = int(math.log2(self.size))
-        h = ConvLayer(ch[self.size], 1)(x)
+        h = ConvLayer(ch[self.size], 1, dtype=self.dtype)(x)
         for res in [2**i for i in range(log_size, 2, -1)]:
-            h = DResBlock(ch[res // 2])(h)
-        # minibatch stddev (group 4)
+            h = DResBlock(ch[res // 2], dtype=self.dtype)(h)
+        # minibatch stddev (group 4), statistics in fp32
         n, hh, ww, c = h.shape
         g = min(self.stddev_group, n)
-        y = h.reshape(g, -1, hh, ww, c)
+        y = h.astype(jnp.float32).reshape(g, -1, hh, ww, c)
         std = jnp.sqrt(jnp.var(y, axis=0) + 1e-8)
         std = jnp.mean(std, axis=(1, 2, 3), keepdims=True)  # (n/g,1,1,1)
-        std = jnp.tile(std, (g, hh, ww, 1))
+        std = jnp.tile(std, (g, hh, ww, 1)).astype(h.dtype)
         h = jnp.concatenate([h, std], axis=-1)
-        h = ConvLayer(ch[4], 3)(h)
-        h = h.reshape(n, -1)
+        h = ConvLayer(ch[4], 3, dtype=self.dtype)(h)
+        h = h.reshape(n, -1).astype(jnp.float32)
         h = EqualDense(ch[4], activation=True)(h)
         logits = EqualDense(1)(h)
         return logits.squeeze(-1), {"features": h}

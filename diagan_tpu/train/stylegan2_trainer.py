@@ -419,6 +419,10 @@ class StyleGAN2Trainer:
 
     # ------------------------------------------------------------------
     def _record_logits(self, step, batch=64):
+        """Full-dataset D sweep (the reference's per-example logit
+        recording, train_ffhq.py:128-161) as ONE jitted lax.scan over
+        batches — no host round-trip per batch (the reference syncs on
+        every DataLoader batch)."""
         disc = self.drs_disc if self.drs_disc is not None else self.disc
         params = (
             self.d_drs_state.params if self.drs_disc is not None
@@ -426,18 +430,23 @@ class StyleGAN2Trainer:
         )
         name = "netD_drs" if self.drs_disc is not None else "netD"
 
-        @jax.jit
-        def score(params, idx):
-            x = jnp.take(self.images, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
-            return self._disc_apply(disc, params, x)
+        if not hasattr(self, "_logit_sweep"):
+            n_batches = -(-self.num_data // batch)
+            idx_all = jnp.arange(n_batches * batch, dtype=jnp.int32) \
+                .clip(max=self.num_data - 1).reshape(n_batches, batch)
 
-        out = np.zeros(self.num_data)
-        for s in range(0, self.num_data, batch):
-            idx = np.arange(s, min(s + batch, self.num_data))
-            pad = batch - len(idx)
-            idx_p = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
-            vals = np.asarray(score(params, jnp.asarray(idx_p)))
-            out[idx] = vals[: len(idx)]
+            @jax.jit
+            def sweep(params):
+                def body(_, idx):
+                    x = jnp.take(self.images, idx, axis=0)
+                    x = x.astype(jnp.float32) / 127.5 - 1.0
+                    return None, self._disc_apply(disc, params, x)
+
+                _, logits = jax.lax.scan(body, None, idx_all)
+                return logits.reshape(-1)[: self.num_data]
+
+            self._logit_sweep = sweep
+        out = np.asarray(self._logit_sweep(params), dtype=np.float64)
         self.logit_results.setdefault(f"{name}_eval", {})[step] = out
 
     def _save_ckpt(self, step):

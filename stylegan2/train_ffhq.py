@@ -52,6 +52,10 @@ def build_parser():
     parser.add_argument("--logit_save_steps", default=100, type=int)
     parser.add_argument("--save_logit_after", default=195000, type=int)
     parser.add_argument("--stop_save_logit_after", default=200000, type=int)
+    # TPU-native addition (not in the reference): bf16 compute dtype for
+    # the synthesis network and D backbone (params/optimizer stay fp32).
+    # Measured 1.23x per-step at 256px on v5e (675 -> 548 ms).
+    parser.add_argument("--bf16", action="store_true")
     return parser
 
 
@@ -59,14 +63,20 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
     enable_compile_cache()
     set_seed(args.seed)
     output_dir = Path(args.work_dir) / args.exp_name
+    import jax.numpy as jnp
+
     images = load_ffhq(args.root, size=args.size)
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     gen = StyleGAN2Generator(size=args.size,
-                             channel_multiplier=args.channel_multiplier)
+                             channel_multiplier=args.channel_multiplier,
+                             dtype=dtype)
     disc = StyleGAN2Discriminator(size=args.size,
-                                  channel_multiplier=args.channel_multiplier)
+                                  channel_multiplier=args.channel_multiplier,
+                                  dtype=dtype)
     drs_disc = (
         StyleGAN2Discriminator(size=args.size,
-                               channel_multiplier=args.channel_multiplier)
+                               channel_multiplier=args.channel_multiplier,
+                               dtype=dtype)
         if drs else None
     )
     trainer = StyleGAN2Trainer(

@@ -50,6 +50,7 @@ def _setup(tmp_path, mesh, per_device_bs=2):
     return g_state, d_state, dd_state, fused, src
 
 
+@pytest.mark.slow
 def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
     g, d, dd, fused, src = _setup(tmp_path, mesh)
     chunk = make_sharded_train_chunk(fused, 2, mesh, donate=False)

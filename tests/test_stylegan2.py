@@ -105,6 +105,7 @@ def test_adaptive_augment_direction():
     assert p_down < 0.5
 
 
+@pytest.mark.slow
 def test_stylegan2_trainer_data_parallel(tmp_path):
     """Full SG2 step programs under shard_map on the 8-device CPU mesh."""
     from diagan_tpu.parallel import make_mesh
@@ -121,3 +122,54 @@ def test_stylegan2_trainer_data_parallel(tmp_path):
     assert int(tr.g_state.step) == 2
     leaf = jax.tree.leaves(tr.g_state.params)[0]
     assert bool(jnp.isfinite(leaf).all())
+
+
+def test_bf16_compute_dtype_matches_fp32_structure():
+    """bf16 compute dtype: params stay fp32, output returns fp32, values
+    track the fp32 model (same params; loose tolerance for bf16 rounding),
+    and the R1-style input gradient stays finite."""
+    g32 = StyleGAN2Generator(size=16)
+    g16 = StyleGAN2Generator(size=16, dtype=jnp.bfloat16)
+    d16 = StyleGAN2Discriminator(size=16, dtype=jnp.bfloat16)
+    k = jax.random.key(0)
+    z = jax.random.normal(k, (4, 512))
+    gv = g32.init({"params": k, "noise": k}, z)
+    a = g32.apply(gv, z, rngs={"noise": k})
+    b = g16.apply(gv, z, rngs={"noise": k})  # same fp32 params
+    assert b.dtype == jnp.float32
+    assert jax.tree.leaves(gv["params"])[0].dtype == jnp.float32
+    assert float(jnp.mean(jnp.abs(a - b))) < 0.05
+    dv = d16.init({"params": k}, a)
+
+    def score(x):
+        return jnp.sum(d16.apply(dv, x)[0])
+
+    grad_x = jax.grad(score)(a)
+    assert bool(jnp.isfinite(grad_x).all())
+
+
+def test_trainer_logit_sweep_scatter(tmp_path):
+    """The scanned full-dataset logit sweep returns per-example logits in
+    dataset order, including the ragged final batch."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(1).integers(0, 255, (23, 16, 16, 3), np.uint8)
+    gen = StyleGAN2Generator(size=16)
+    disc = StyleGAN2Discriminator(size=16)
+    tr = StyleGAN2Trainer(tmp_path, gen, disc, imgs, num_steps=1,
+                          batch_size=2, log_every=1, save_every=10000)
+    # batch must be a multiple of D's stddev_group (4) — true of the
+    # reference too (rosinality model.py view(group, -1, ...))
+    tr._record_logits(step=5, batch=8)
+    out = tr.logit_results["netD_eval"][5]
+    assert out.shape == (23,) and out.dtype == np.float64
+    # oracle: same batching as the sweep (minibatch-stddev couples logits
+    # within a batch), last batch padded with the final example
+    idx = np.arange(24).clip(max=22)
+    x = jnp.asarray(imgs[idx]).astype(jnp.float32) / 127.5 - 1.0
+    want = np.concatenate([
+        np.asarray(disc.apply({"params": tr.d_state.params}, x[s:s + 8])[0])
+        for s in range(0, 24, 8)
+    ])[:23]
+    np.testing.assert_allclose(out, want.astype(np.float64), rtol=2e-4,
+                               atol=1e-5)

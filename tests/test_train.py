@@ -69,6 +69,7 @@ def test_checkpoint_restore_roundtrip(tmp_path, tiny_dataset):
     assert tr2.global_step == 8
 
 
+@pytest.mark.slow
 def test_phase2_weighted_with_drs(tmp_path, tiny_dataset):
     # phase 1
     tr = _make_trainer(tmp_path / "p1", tiny_dataset)
@@ -102,6 +103,7 @@ def test_gold_and_topk_smoke(tmp_path, tiny_dataset):
     assert tr.global_step == 8
 
 
+@pytest.mark.slow
 def test_ssgan_smoke(tmp_path, tiny_dataset):
     bundle = get_gan_model("cifar10", model="ssgan", loss_type="hinge")
     ds32 = tiny_dataset

@@ -97,6 +97,7 @@ def test_evaluate_checkpoint_pr_and_is(mnist_run):
     assert is_res["scores"]["0"] > 0
 
 
+@pytest.mark.slow
 def test_logit_buffer_survives_restart(tmp_path):
     """A mid-window restart must keep previously recorded snapshots."""
     root = tmp_path / "d"
@@ -127,6 +128,7 @@ def test_logit_buffer_survives_restart(tmp_path):
     assert sorted(logits) == [2, 4, 6, 8]
 
 
+@pytest.mark.slow
 def test_inclusive_trainer_smoke(tmp_path):
     """Inclusive-GAN aux losses must flow through the fused step (regression
     for the aux-metrics tracer leak)."""
