@@ -106,11 +106,17 @@ def get_gan_model(
         nz, size, nc = 2, 0, 2
         model = "toy"
     elif dataset_name == "ffhq":
+        import jax.numpy as jnp
+
         from diagan_tpu.models import stylegan2
 
-        gen = stylegan2.StyleGAN2Generator(size=kwargs.get("size", 256))
+        # bf16=True runs synthesis/D-backbone in bfloat16 (fp32 params) —
+        # TPU-native addition, see models/stylegan2.py
+        dtype = jnp.bfloat16 if kwargs.get("bf16") else jnp.float32
+        gen = stylegan2.StyleGAN2Generator(size=kwargs.get("size", 256),
+                                           dtype=dtype)
         disc_cls = lambda: stylegan2.StyleGAN2Discriminator(  # noqa: E731
-            size=kwargs.get("size", 256)
+            size=kwargs.get("size", 256), dtype=dtype
         )
         opt = OptSpec(2e-4, (0.0, 0.9))
         nz, size, nc = 512, kwargs.get("size", 256), 3

@@ -31,10 +31,13 @@ def main():
     parser.add_argument("--channel_multiplier", type=int, default=2)
     parser.add_argument("--out_dir", type=str, default="sample")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args()
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     gen = StyleGAN2Generator(size=args.size,
-                             channel_multiplier=args.channel_multiplier)
+                             channel_multiplier=args.channel_multiplier,
+                             dtype=dtype)
     disc = StyleGAN2Discriminator(size=args.size,
                                   channel_multiplier=args.channel_multiplier)
     tr = StyleGAN2Trainer("/tmp/_sg2_gen", gen, disc,
