@@ -33,9 +33,11 @@ def add_common_train_flags(parser: argparse.ArgumentParser):
 
 
 def load_phase1_scores(baseline_save_path, p1_step, resample_score,
-                       window=5000, logit_name="netD_eval"):
+                       window=5000, logit_name="netD_eval",
+                       normalize_logits=False):
     """logits pickle -> sample weights for phase 2
-    (reference train_mimicry_phase2.py:86-93; window=5000 for all datasets)."""
+    (reference train_mimicry_phase2.py:86-93; window=5000 for all datasets).
+    normalize_logits: opt-in median-centering deviation (score/score.py)."""
     from diagan_tpu.score import calculate_scores
 
     logit_path = Path(baseline_save_path) / f"logits_{logit_name}.pkl"
@@ -43,7 +45,8 @@ def load_phase1_scores(baseline_save_path, p1_step, resample_score,
     with open(logit_path, "rb") as f:
         logits = pickle.load(f)
     score_dict = calculate_scores(
-        logits, start_epoch=p1_step - window, end_epoch=p1_step
+        logits, start_epoch=p1_step - window, end_epoch=p1_step,
+        normalize_logits=normalize_logits,
     )
     w = np.asarray(score_dict[resample_score])
     print(f"sample_weights mean: {w.mean()}, var: {w.var()}, "

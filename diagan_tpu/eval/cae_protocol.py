@@ -42,7 +42,12 @@ def generate_dataset(generate_images_fn, save_path, num_images=50000,
 
     chunks = []
     for _ in range(num_images // step_data):
-        imgs = generate_images_fn(step_data)
+        try:
+            # samplers that can quantize on device (4x smaller transfer
+            # over the slow device->host link) do so
+            imgs = generate_images_fn(step_data, return_uint8=True)
+        except TypeError:
+            imgs = generate_images_fn(step_data)
         imgs = np.asarray(imgs)
         if imgs.dtype != np.uint8:
             imgs = np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)

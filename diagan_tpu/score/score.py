@@ -92,13 +92,27 @@ def _window_stack(logits, start_step, end_step):
     return jnp.asarray(np.asarray(buf)[mask][order])
 
 
-def calculate_scores(logits, start_epoch=50, end_epoch=75, clip_val=1.5, conf=1):
+def calculate_scores(logits, start_epoch=50, end_epoch=75, clip_val=1.5,
+                     conf=1, normalize_logits=False):
     """Compute the LDR score family over a window of logit snapshots.
 
     Signature kept flag-for-flag with the reference (start/end named
     'epoch' though they are global steps; clip_val/conf vestigial).
+
+    normalize_logits=True is a DOCUMENTED DEVIATION (off by default): it
+    shifts each snapshot by its across-examples median before scoring.
+    Rationale: when D's real logits sit far above ~0.5, the ldr_conf
+    family saturates — every score clears the clip_min floor of 1e-2, any
+    example AT the floor pins clip_max_ratio's cap to floor*ratio, and the
+    weights flatten toward uniform (observed on easy synthetic data,
+    docs/VALIDATION.md). Median-centering restores the intended dynamic
+    range while preserving each snapshot's across-example ordering; it
+    also removes common-mode temporal drift of D's logit scale from the
+    time-series scores (ldrd/ldrv), leaving per-example discrepancy.
     """
     arr = _window_stack(logits, start_epoch, end_epoch)
+    if normalize_logits:
+        arr = arr - jnp.median(arr, axis=1, keepdims=True)
     if arr.shape[0] < 2:
         raise ValueError(
             f"need >=2 logit snapshots in window [{start_epoch}, {end_epoch}), "

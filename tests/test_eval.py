@@ -154,3 +154,28 @@ def test_cae_protocol_end_to_end(tmp_path):
     )
     assert abs(out["all"]["pct_diff"] + 10.0) < 1e-4
     assert abs(out["minority"]["pct_diff"] + 10.0) < 1e-4
+
+
+def test_drs_device_accept_matches_host_accept():
+    """The on-device accept test (packed transfer path) implements the
+    same math as the host reference-port `_accept`."""
+    import jax.numpy as jnp
+
+    def gen_fn(z):
+        return jnp.tanh(jnp.tile(z[:, :1, None, None], (1, 8, 8, 3)))
+
+    def disc_fn(x):
+        return x.mean(axis=(1, 2, 3)) * 5.0
+
+    drs = DRS(gen_fn, disc_fn, nz=4, key=jax.random.key(5), batch_size=128)
+    rng = np.random.default_rng(0)
+    ldr = rng.normal(0, 2, 128).astype(np.float32)
+    u = rng.uniform(size=128).astype(np.float32)
+    dev = np.asarray(
+        drs._accept_device(jnp.asarray(ldr), jnp.asarray(u),
+                           jnp.float32(drs.maximum))
+    )
+    host = drs._accept(ldr.astype(np.float64), u.astype(np.float64))
+    # fp32-vs-fp64 rounding can flip samples sitting exactly at the
+    # accept boundary; none do in this draw
+    np.testing.assert_array_equal(dev, host)

@@ -75,3 +75,34 @@ def test_prepare_sample_weights_floor():
     out = prepare_sample_weights(w, eps=1e-6)
     assert out[0] == 1e-6 and out[1] == 1e-6
     np.testing.assert_allclose(out[2:], [0.5, 2.0])
+
+
+def test_normalize_logits_restores_conf_dynamic_range():
+    """The opt-in median-centering deviation. Saturation mechanism (see
+    docs/VALIDATION.md): real logits sit near +7 while one floored example
+    pins clip_max_ratio's cap to 1e-2*50=0.5, so EVERY other example caps
+    at 0.5 and minority/majority contrast vanishes. Median-centering puts
+    the stable majority at the clip_min floor instead, so the cap spreads
+    the high-temporal-variance minority away from it."""
+    from diagan_tpu.score import calculate_scores
+
+    rng = np.random.default_rng(0)
+    n, s = 200, 10
+    logits = {}
+    for step in range(0, s * 100, 100):
+        snap = 7.0 + rng.normal(0, 0.01, n)      # stable majority
+        snap[:20] = 7.0 + rng.normal(0, 2.0, 20)  # minority: high temporal var
+        snap[-1] = -5.0                           # dead example pins the cap
+        logits[step] = snap
+    plain = np.asarray(
+        calculate_scores(logits, 0, s * 100)["ldr_conf_5.0_ratio_50"])
+    normed = np.asarray(
+        calculate_scores(logits, 0, s * 100, normalize_logits=True)[
+            "ldr_conf_5.0_ratio_50"])
+
+    def contrast(w):
+        return w[:20].mean() / w[20:-1].mean()
+
+    assert contrast(plain) < 1.5          # saturated: all capped at 0.5
+    assert contrast(normed) > 5.0         # restored dynamic range
+    assert plain.min() >= 1e-2            # default path: reference formula

@@ -38,6 +38,10 @@ def main():
     parser.add_argument("--resample_score", type=str)
     parser.add_argument("--gold", action="store_true")
     parser.add_argument("--topk", action="store_true")
+    # TPU-native addition (not in the reference): median-center each logit
+    # snapshot before scoring — counters ldr_conf saturation on easy data
+    # (diagan_tpu/score/score.py docstring, docs/VALIDATION.md)
+    parser.add_argument("--normalize_logits", action="store_true")
     add_common_train_flags(parser)
     args = parser.parse_args()
 
@@ -52,7 +56,8 @@ def main():
     window = 5000  # all datasets (reference :78-83)
     if not args.gold:
         sample_weights = load_phase1_scores(
-            baseline_save_path, args.p1_step, args.resample_score, window
+            baseline_save_path, args.p1_step, args.resample_score, window,
+            normalize_logits=args.normalize_logits,
         )
     else:
         sample_weights = None
