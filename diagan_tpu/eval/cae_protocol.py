@@ -40,19 +40,20 @@ def generate_dataset(generate_images_fn, save_path, num_images=50000,
     """Sample `num_images` from G (plain or DRS) into a uint8 pickle."""
     import pickle
 
-    chunks = []
-    for _ in range(num_images // step_data):
-        try:
-            # samplers that can quantize on device (4x smaller transfer
-            # over the slow device->host link) do so
-            imgs = generate_images_fn(step_data, return_uint8=True)
-        except TypeError:
-            imgs = generate_images_fn(step_data)
-        imgs = np.asarray(imgs)
-        if imgs.dtype != np.uint8:
-            imgs = np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
-        chunks.append(imgs)
-    arr = np.concatenate(chunks, 0)[:num_images]
+    # one request: the samplers already chunk internally at the right
+    # dispatch grain, and a DRS over-request would discard its per-call
+    # accepted surplus (step_data kept in the signature for parity with
+    # reference train_cae.py:96-110)
+    del step_data
+    try:
+        # samplers that can quantize on device (4x smaller transfer over
+        # the slow device->host link) do so
+        arr = np.asarray(generate_images_fn(num_images, return_uint8=True))
+    except TypeError:
+        arr = np.asarray(generate_images_fn(num_images))
+    if arr.dtype != np.uint8:
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+    arr = arr[:num_images]
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
     with open(save_path, "wb") as f:

@@ -32,6 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def minmax_uint8(images):
+    """Per-image min-max -> uint8, the reference FID input normalization
+    (_normalize_images, fid_score.py:77-101) as device math."""
+    axis = tuple(range(1, images.ndim))
+    mn = jnp.min(images, axis=axis, keepdims=True)
+    mx = jnp.max(images, axis=axis, keepdims=True)
+    return (255 * (images - mn) / (mx - mn + 1e-9)).astype(jnp.uint8)
+
+
 class DRS:
     def __init__(self, gen_fn, disc_fn, nz, key=None, gamma=None,
                  percentile=80, batch_size=256, chunk=None):
@@ -107,6 +116,8 @@ class DRS:
         # (~40MB/s through the axon tunnel), so uint8 results transfer 4x
         # less than [-1,1] float32
         self._to_uint8 = to_uint8
+        # reference FID input normalization (fid_score.py:77-101) on device
+        self._to_minmax_uint8 = jax.jit(minmax_uint8)
 
         @jax.jit
         def ldr_chunk(key):
@@ -157,12 +168,15 @@ class DRS:
         F = F - gamma
         return 1.0 / (1.0 + np.exp(-F)) > u
 
-    def generate_images(self, num_images, return_uint8=False):
-        """Rejection-sample `num_images` accepted images ([-1,1] float NHWC).
+    def generate_images(self, num_images, return_uint8=False,
+                        minmax_uint8=False):
+        """Rejection-sample `num_images` accepted images ([-1,1] float NHWC,
+        or uint8 via fixed 127.5 / per-image min-max quantization).
 
         Only accepted samples are transferred to host: the chunk returns
         (compacted images, accepted count, new running max) and the host
-        slices the accepted prefix off the device array."""
+        slices the accepted prefix off the device array; any quantization
+        happens on device BEFORE the transfer."""
         out = []
         n = 0
         while n < num_images:
@@ -173,8 +187,10 @@ class DRS:
             k = int(n_acc)
             if k == 0:
                 continue
-            if return_uint8:
-                packed = self._to_uint8(packed)  # quantize BEFORE transfer
+            if minmax_uint8:
+                packed = self._to_minmax_uint8(packed)
+            elif return_uint8:
+                packed = self._to_uint8(packed)
             out.append(np.asarray(packed[:k]))
             n += k
         return np.concatenate(out, axis=0)[:num_images]

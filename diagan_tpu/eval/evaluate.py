@@ -70,23 +70,56 @@ def make_disc_fn(disc, d_state):
 
 
 class Sampler:
-    """Plain batched G sampler (the non-DRS path)."""
+    """Plain batched G sampler (the non-DRS path).
 
-    def __init__(self, gen_fn, nz, key=None, batch_size=256):
+    Same dispatch-grain design as eval.drs.DRS: K batches per scanned
+    dispatch (auto ~256MB of proposals), optional on-device quantization
+    so uint8 — not float32 — crosses the ~40MB/s device->host link."""
+
+    def __init__(self, gen_fn, nz, key=None, batch_size=256, chunk=None):
         self.gen_fn = gen_fn
         self.nz = nz
         self.batch_size = batch_size
         self.key = key if key is not None else jax.random.key(0)
+        if chunk is None:
+            img = jax.eval_shape(
+                gen_fn, jax.ShapeDtypeStruct((batch_size, nz), np.float32)
+            )
+            batch_bytes = int(np.prod(img.shape)) * img.dtype.itemsize
+            chunk = int(np.clip(256 * 2**20 // max(batch_bytes, 1), 1, 128))
+        self.chunk = chunk
 
-    def generate_images(self, num_images):
+        @jax.jit
+        def sample_chunk(key):
+            def body(_, k):
+                z = jax.random.normal(k, (batch_size, nz))
+                return None, self.gen_fn(z)
+
+            _, imgs = jax.lax.scan(body, None,
+                                   jax.random.split(key, self.chunk))
+            return imgs.reshape((-1,) + imgs.shape[2:])
+
+        self._sample_chunk = sample_chunk
+        self._to_uint8 = jax.jit(
+            lambda x: jnp.clip((x + 1) * 127.5, 0, 255).astype(jnp.uint8)
+        )
+        from diagan_tpu.eval.drs import minmax_uint8
+
+        self._to_minmax_uint8 = jax.jit(minmax_uint8)
+
+    def generate_images(self, num_images, return_uint8=False,
+                        minmax_uint8=False):
         out = []
         n = 0
         while n < num_images:
             self.key, sub = jax.random.split(self.key)
-            z = jax.random.normal(sub, (self.batch_size, self.nz))
-            imgs = np.asarray(self.gen_fn(z))
-            out.append(imgs)
-            n += len(imgs)
+            imgs = self._sample_chunk(sub)
+            if minmax_uint8:
+                imgs = self._to_minmax_uint8(imgs)
+            elif return_uint8:
+                imgs = self._to_uint8(imgs)
+            out.append(np.asarray(imgs))
+            n += len(out[-1])
         return np.concatenate(out)[:num_images]
 
 
@@ -226,8 +259,10 @@ def evaluate_checkpoint(
                           batch_size=batch_size)
         else:
             sampler = Sampler(gen_fn, bundle.nz, key=key, batch_size=batch_size)
-        fakes = sampler.generate_images(num_fake_samples)
-        fakes_u8 = M.normalize_images(fakes)  # reference fid_score.py:77-101
+        # reference fid_score.py:77-101 normalization, applied on device
+        # before the (slow) device->host transfer — uint8 crosses the link
+        fakes_u8 = sampler.generate_images(num_fake_samples,
+                                           minmax_uint8=True)
         feats, logits = featurizer.features_and_logits(fakes_u8)
 
         if metric == "fid":

@@ -170,16 +170,28 @@ class InceptionFeaturizer:
             )
             self.weights_kind = "random"
 
-        @jax.jit
-        def fwd(x):
+        def fwd_one(x):
             # resize to 299 (reference pipeline resizes before Inception)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 127.5 - 1.0
             n = x.shape[0]
             x = jax.image.resize(x, (n, 299, 299, x.shape[-1]), "bilinear")
             if x.shape[-1] == 1:
                 x = jnp.repeat(x, 3, axis=-1)
             return self.model.apply(self.variables, x)
 
-        self._fwd = fwd
+        self._fwd = jax.jit(fwd_one)
+
+        @jax.jit
+        def fwd_scan(batches):
+            # (M, bs, H, W, C) -> stacked features/logits in ONE dispatch;
+            # per-batch dispatch costs ~0.8s on the tunneled TPU platform,
+            # so the loop grain must be the slab, not the batch
+            return jax.lax.scan(
+                lambda _, x: (None, fwd_one(x)), None, batches
+            )[1]
+
+        self._fwd_scan = fwd_scan
 
         # A randomly-initialized deep net emits features at a tiny, nearly
         # degenerate scale (activations shrink through ~90 conv+BN layers).
@@ -215,22 +227,33 @@ class InceptionFeaturizer:
             self._feat_scale = self._feat_scale / np.sqrt((z**2).mean() + 1e-12)
 
     def features_and_logits(self, images):
-        """images: float [-1,1] NHWC (any size) or uint8 -> (pool3, logits)."""
-        images = np.asarray(images)
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 127.5 - 1.0
-        feats, logits = [], []
+        """images: float [-1,1] NHWC (any size) or uint8 -> (pool3, logits).
+
+        uint8 input stays uint8 across the host->device link (4x less
+        traffic; conversion happens on device). Work is sliced into slabs
+        of <=~1GB of device-resident images, each featurized as one
+        scanned dispatch."""
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
         bs = self.batch_size
         n = len(images)
-        pad = (-n) % bs
-        if pad:
-            images = np.concatenate([images, np.zeros_like(images[:pad])])
-        for i in range(0, len(images), bs):
-            f, l = self._fwd(jnp.asarray(images[i : i + bs]))
-            feats.append(np.asarray(f))
-            logits.append(np.asarray(l))
-        feats = np.concatenate(feats)[:n]
-        logits = np.concatenate(logits)[:n]
+        img_bytes = int(np.prod(images.shape[1:])) * images.dtype.itemsize
+        slab_batches = max(1, (2**30 // img_bytes) // bs)
+        feats, logits = [], []
+        for s in range(0, n, slab_batches * bs):
+            slab = images[s : s + slab_batches * bs]
+            k = len(slab)
+            pad = (-k) % bs
+            cat = jnp.concatenate if isinstance(slab, jax.Array) \
+                else np.concatenate
+            if pad:
+                slab = cat([slab, slab[:1].repeat(pad, axis=0) * 0])
+            slab = jnp.asarray(slab).reshape((-1, bs) + slab.shape[1:])
+            f, l = self._fwd_scan(slab)
+            feats.append(np.asarray(f).reshape(-1, f.shape[-1])[:k])
+            logits.append(np.asarray(l).reshape(-1, l.shape[-1])[:k])
+        feats = np.concatenate(feats)
+        logits = np.concatenate(logits)
         if self._feat_scale is not None:
             feats = (feats - self._feat_shift) * self._feat_scale
         return feats, logits

@@ -179,3 +179,16 @@ def test_drs_device_accept_matches_host_accept():
     # fp32-vs-fp64 rounding can flip samples sitting exactly at the
     # accept boundary; none do in this draw
     np.testing.assert_array_equal(dev, host)
+
+
+def test_device_minmax_matches_host_normalize():
+    from diagan_tpu.eval import metrics as M
+    from diagan_tpu.eval.drs import minmax_uint8
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1.2, 0.9, (16, 8, 8, 3)).astype(np.float32)
+    dev = np.asarray(jax.jit(minmax_uint8)(x))
+    host = M.normalize_images(x)
+    # identical math; allow 1-count rounding at the fp32 boundary
+    assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
