@@ -104,24 +104,37 @@ def train_classifier(model, images, labels, epochs=80, batch_size=128,
 
 def predict_classifier(model, params, state, images, batch_size=256,
                        seed=0):
-    """Batched eval-mode logits for uint8 NHWC images."""
+    """Batched eval-mode logits for uint8 NHWC images.
+
+    All batches run as one scanned dispatch per <=1GB slab (uint8 crosses
+    the host->device link; dequantize on device) — per-batch dispatches
+    cost ~0.8s each on the tunneled TPU platform."""
     drop_key = jax.random.key(seed)
 
     @jax.jit
-    def fwd(x):
-        logits, _ = model.apply(
-            {"params": params, **state}, x, train=False,
-            rngs={"dropout": drop_key},
-        )
-        return logits
+    def fwd_scan(batches):
+        def body(_, x):
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+            logits, _ = model.apply(
+                {"params": params, **state}, x, train=False,
+                rngs={"dropout": drop_key},
+            )
+            return None, logits
 
-    out = []
+        return jax.lax.scan(body, None, batches)[1]
+
     images = np.asarray(images)
     n = len(images)
-    pad = (-n) % batch_size
-    if pad:
-        images = np.concatenate([images, np.zeros_like(images[:pad])])
-    for i in range(0, len(images), batch_size):
-        x = jnp.asarray(images[i : i + batch_size], jnp.float32) / 127.5 - 1.0
-        out.append(np.asarray(fwd(x)))
+    img_bytes = int(np.prod(images.shape[1:])) * images.dtype.itemsize
+    slab_batches = max(1, (2**30 // max(img_bytes, 1)) // batch_size)
+    out = []
+    for s in range(0, n, slab_batches * batch_size):
+        slab = images[s : s + slab_batches * batch_size]
+        k = len(slab)
+        pad = (-k) % batch_size
+        if pad:
+            slab = np.concatenate([slab, np.zeros_like(slab[:pad])])
+        slab = jnp.asarray(slab).reshape((-1, batch_size) + slab.shape[1:])
+        logits = fwd_scan(slab)
+        out.append(np.asarray(logits).reshape(-1, logits.shape[-1])[:k])
     return np.concatenate(out)[:n]
