@@ -89,3 +89,30 @@ def test_converter_rejects_wrong_count(tmp_path):
     torch.save(sd, f)
     with pytest.raises(ValueError, match="conv count mismatch"):
         load_torch_weights(model, str(f))
+
+
+def test_featurizer_scan_matches_per_batch_fwd():
+    """The slabbed scan path returns the same features as per-batch _fwd
+    calls, including padding of the ragged tail and uint8 device-side
+    dequantization."""
+    from diagan_tpu.eval.inception import InceptionFeaturizer
+
+    feat = InceptionFeaturizer(batch_size=16)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (37, 16, 16, 3), np.uint8)
+    f_scan, l_scan = feat.features_and_logits(imgs)
+    assert f_scan.shape[0] == 37 and l_scan.shape[0] == 37
+    # oracle: direct batched forward, same batch split
+    ref = []
+    padded = np.concatenate([imgs, np.zeros_like(imgs[:11])])
+    for i in range(0, 48, 16):
+        x = jnp.asarray(padded[i : i + 16]).astype(jnp.float32) / 127.5 - 1.0
+        f, _ = feat._fwd(x)
+        ref.append(np.asarray(f))
+    ref = np.concatenate(ref)[:37]
+    if feat._feat_scale is not None:
+        ref = (ref - feat._feat_shift) * feat._feat_scale
+    # raw features agree to ~3e-9; the random-fallback standardization
+    # affine (scale up to ~1e5) amplifies that float noise, hence the
+    # looser post-affine tolerance
+    np.testing.assert_allclose(f_scan, ref, rtol=1e-2, atol=1e-3)
