@@ -186,12 +186,16 @@ class StyleGAN2Trainer:
         bs = self.batch_size
         sd = self.style_dim
 
-        def draw_batch(key, weighted):
+        def draw_batch(key, weighted, images):
+            # images/log_weights arrive as PROGRAM ARGUMENTS — closing over
+            # the device-resident dataset would embed it as an HLO constant
+            # (hundreds of MB: slow serialization, and >413-limit on the
+            # remote-compile service at 512px)
             if weighted and self.log_weights is not None:
                 idx = sample_weighted_indices(key, self.log_weights, (bs,))
             else:
                 idx = sample_uniform_indices(key, self.num_data, (bs,))
-            real = jnp.take(self.images, idx, axis=0)
+            real = jnp.take(images, idx, axis=0)
             return real.astype(jnp.float32) / 127.5 - 1.0, idx
 
         def mixing_cutoff(key):
@@ -207,10 +211,10 @@ class StyleGAN2Trainer:
             return self._gen_apply(g_params, z1, z2, mixing_cutoff(kc), kn)
 
         def d_step_for(disc, tx, weighted):
-            def step(d_state, g_params, key, ada_p):
+            def step(d_state, g_params, key, ada_p, images):
                 key = self._maybe_fold(key)
                 kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
-                real, _ = draw_batch(kdata, weighted)
+                real, _ = draw_batch(kdata, weighted, images)
                 fake = jax.lax.stop_gradient(fakes(g_params, kfake))
                 real_a = augment(real, kaug1, ada_p)
                 fake_a = augment(fake, kaug2, ada_p)
@@ -235,10 +239,10 @@ class StyleGAN2Trainer:
             return step
 
         def d_r1_for(disc, tx, weighted):
-            def step(d_state, key, ada_p):
+            def step(d_state, key, ada_p, images):
                 key = self._maybe_fold(key)
                 kdata, kaug = jax.random.split(key)
-                real, _ = draw_batch(kdata, weighted)
+                real, _ = draw_batch(kdata, weighted, images)
                 real = augment(real, kaug, ada_p)
 
                 def r1_fn(p):
@@ -298,19 +302,19 @@ class StyleGAN2Trainer:
         # reference train_ffhq.py:212-311), letting one dispatch cover
         # the full stretch between logging boundaries.
         def full_step(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, gstep):
+                      ada_p, gstep, images):
             kd, kdd, kg, kr1, kpl = jax.random.split(key, 5)
-            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p)
+            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p, images)
             if drs_plain is not None:
                 d_drs_state, _ = drs_plain(
-                    d_drs_state, g_state.params, kdd, ada_p
+                    d_drs_state, g_state.params, kdd, ada_p, images
                 )
 
             def with_r1(args):
                 d, dd = args
-                d, rm = d_r1_raw(d, kr1, ada_p)
+                d, rm = d_r1_raw(d, kr1, ada_p, images)
                 if drs_r1_raw is not None:
-                    dd, _ = drs_r1_raw(dd, kr1, ada_p)
+                    dd, _ = drs_r1_raw(dd, kr1, ada_p, images)
                 return d, dd, rm["r1"]
 
             def no_r1(args):
@@ -344,12 +348,12 @@ class StyleGAN2Trainer:
 
         def make_chunk(n):
             def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, start_step):
+                      ada_p, start_step, images):
                 def body(carry, i):
                     g, d, dd, ema, plm = carry
                     g, d, dd, ema, plm, m = full_step(
                         g, d, dd, ema, plm, jax.random.fold_in(key, i),
-                        ada_p, start_step + i,
+                        ada_p, start_step + i, images,
                     )
                     return (g, d, dd, ema, plm), m
 
@@ -361,7 +365,7 @@ class StyleGAN2Trainer:
                     )
                 return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
 
-            return self._jit(chunk, 8)
+            return self._jit(chunk, 9)
 
         self._make_chunk = make_chunk
 
@@ -436,9 +440,9 @@ class StyleGAN2Trainer:
                 .clip(max=self.num_data - 1).reshape(n_batches, batch)
 
             @jax.jit
-            def sweep(params):
+            def sweep(params, images):
                 def body(_, idx):
-                    x = jnp.take(self.images, idx, axis=0)
+                    x = jnp.take(images, idx, axis=0)
                     x = x.astype(jnp.float32) / 127.5 - 1.0
                     return None, self._disc_apply(disc, params, x)
 
@@ -446,7 +450,8 @@ class StyleGAN2Trainer:
                 return logits.reshape(-1)[: self.num_data]
 
             self._logit_sweep = sweep
-        out = np.asarray(self._logit_sweep(params), dtype=np.float64)
+        out = np.asarray(self._logit_sweep(params, self.images),
+                         dtype=np.float64)
         self.logit_results.setdefault(f"{name}_eval", {})[step] = out
 
     def _save_ckpt(self, step):
@@ -546,6 +551,7 @@ class StyleGAN2Trainer:
              self.pl_mean, ms) = self._plain_chunks[n](
                 self.g_state, self.d_state, self.d_drs_state, self.g_ema,
                 self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
+                self.images,
             )
             signs = np.asarray(ms["sign_real"])
             if self.ada is not None:
