@@ -86,7 +86,8 @@ def train_cae(cae, generated_images, real_images, save_path, epochs=100,
         return x.astype(jnp.float32) / 127.5 - 1.0 if quant else x
 
     @jax.jit
-    def epoch_fn(params, state, opt_state, perm):
+    def epoch_fn(params, state, opt_state, perm, gen):
+        # dataset as ARGUMENT, not closure (HLO-constant embedding)
         def body(carry, idx):
             params, state, opt_state = carry
             batch = deq(jnp.take(gen, idx, axis=0), quant_gen)
@@ -117,7 +118,7 @@ def train_cae(cae, generated_images, real_images, save_path, epochs=100,
     sweep_idx_j, sweep_mask_j = jnp.asarray(sweep_idx), jnp.asarray(sweep_mask)
 
     @jax.jit
-    def re_sweep(params, state):
+    def re_sweep(params, state, real):
         def body(buf, xs):
             idx, mask = xs
             batch = deq(jnp.take(real, idx, axis=0), quant_real)
@@ -135,8 +136,9 @@ def train_cae(cae, generated_images, real_images, save_path, epochs=100,
     re_epochs = []
     for epoch in range(1, epochs + 1):
         perm = jnp.asarray(rng.permutation(n_gen))
-        params, state, opt_state, loss = epoch_fn(params, state, opt_state, perm)
-        re = np.asarray(re_sweep(params, state))
+        params, state, opt_state, loss = epoch_fn(params, state, opt_state,
+                                                   perm, gen)
+        re = np.asarray(re_sweep(params, state, real))
         re_epochs.append(re)
         print(f"Epoch: [{epoch} | {epochs}], loss: {float(loss):.6f}")
         if epoch % model_save_epochs == 0:

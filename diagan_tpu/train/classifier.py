@@ -42,7 +42,10 @@ def train_classifier(model, images, labels, epochs=80, batch_size=128,
     drop_key = jax.random.key(seed + 2)
 
     @jax.jit
-    def epoch_fn(params, state, opt_state, perm):
+    def epoch_fn(params, state, opt_state, perm, imgs, labs):
+        # dataset passed as ARGUMENTS: closing over device arrays embeds
+        # them as HLO constants (slow serialization to the remote compile
+        # service; 413 at FFHQ scale — see stylegan2_trainer.py)
         def body(carry, idx):
             params, state, opt_state = carry
             x = jnp.take(imgs, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
@@ -86,7 +89,7 @@ def train_classifier(model, images, labels, epochs=80, batch_size=128,
     for epoch in range(1, epochs + 1):
         perm = jnp.asarray(rng.permutation(n))
         params, state, opt_state, loss, acc = epoch_fn(
-            params, state, opt_state, perm
+            params, state, opt_state, perm, imgs, labs
         )
         history.append({"epoch": epoch, "loss": float(loss), "acc": float(acc)})
         print(f"[{epoch} / {epochs}] train_acc: {float(acc) * 100:.2f}")
