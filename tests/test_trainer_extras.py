@@ -148,3 +148,32 @@ def test_inclusive_trainer_smoke(tmp_path):
     tr.train()
     assert tr.global_step == 2
     assert tr.nearest_latent.shape == (32, bundle.nz)
+
+
+def test_classifier_train_and_predict_learns_color():
+    """train_classifier + predict_classifier on a trivially separable
+    probe task (red-vs-green dominant images), the shape of the
+    color-MNIST bias probe (train_color_mnist_feature.py). Small 8x8
+    inputs + kernel-3 net: XLA-CPU large-kernel convs are pathologically
+    slow, and this tests the trainer, not the conv."""
+    import numpy as np
+
+    from diagan_tpu.models.convnets import Simple3DNet
+    from diagan_tpu.train.classifier import predict_classifier, train_classifier
+
+    rng = np.random.default_rng(0)
+    n = 128
+    labels = rng.integers(0, 2, n)
+    images = np.zeros((n, 8, 8, 3), np.uint8)
+    images[labels == 0, :, :, 0] = 200  # red class
+    images[labels == 1, :, :, 1] = 200  # green class
+    images += rng.integers(0, 30, images.shape).astype(np.uint8)
+
+    model = Simple3DNet(num_labels=2)
+    params, state, history = train_classifier(
+        model, images, labels, epochs=3, batch_size=32
+    )
+    assert history[-1]["acc"] > 0.9
+    logits = predict_classifier(model, params, state, images, batch_size=32)
+    acc = (logits.argmax(-1) == labels).mean()
+    assert acc > 0.9
