@@ -217,8 +217,13 @@ class LogTrainer:
         return self._chunks[size]
 
     def _next_boundary(self, step):
+        # log_steps deliberately NOT a boundary: the chunk returns stacked
+        # per-step metrics, so interior log-step scalars are written from
+        # the stack after the chunk — identical values, fewer host syncs
+        # (each chunk-end sync stalls the dispatch pipeline ~0.8s on this
+        # platform).
         nxt = self.num_steps
-        for period in (self.log_steps, self.print_steps, self.vis_steps,
+        for period in (self.print_steps, self.vis_steps,
                        self.save_steps, self.logit_save_steps):
             nxt = min(nxt, (step // period + 1) * period)
         return nxt
@@ -335,16 +340,24 @@ class LogTrainer:
                     self.source.images, drs_images, log_weights, key,
                     jnp.asarray(step, jnp.int32), self.aux,
                 )
+                chunk_start = step
                 step = boundary
                 if profiling and step >= profile_until:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"INFO: profiler trace written to {self.profile_dir}")
-                last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+                # one host transfer for the whole metric stack
+                stacked = {k: np.asarray(v) for k, v in metrics.items()}
+                last = {k: float(v[-1]) for k, v in stacked.items()}
                 last["lr_D"] = float(self._lr_sched(step))
 
-                if step % self.log_steps == 0:
-                    self.logger.write_scalars(step, last)
+                # interior log steps covered by this chunk
+                first_log = (chunk_start // self.log_steps + 1) * self.log_steps
+                for ls in range(first_log, step + 1, self.log_steps):
+                    row = {k: float(v[ls - chunk_start - 1])
+                           for k, v in stacked.items()}
+                    row["lr_D"] = float(self._lr_sched(ls))
+                    self.logger.write_scalars(ls, row)
                 if step % self.print_steps == 0:
                     now = time.time()
                     self.logger.print_log(
