@@ -329,6 +329,35 @@ class LogTrainer:
             jax.profiler.start_trace(str(self.profile_dir))
             profiling = True
             profile_until = step + 3 * self.print_steps
+        pending = None  # (chunk_start, chunk_end, device-side metric stack)
+
+        def process_pending(p):
+            # Host-side logging for a finished chunk — called AFTER the
+            # next chunk has been dispatched, so the metric transfer + IO
+            # overlap device compute (software pipelining over the ~0.8s
+            # per-dispatch stall on this platform). Values are identical
+            # to eager logging.
+            nonlocal start_time
+            if p is None:
+                return
+            chunk_start, chunk_end, metrics = p
+            stacked = {k: np.asarray(v) for k, v in metrics.items()}
+            first_log = (chunk_start // self.log_steps + 1) * self.log_steps
+            for ls in range(first_log, chunk_end + 1, self.log_steps):
+                row = {k: float(v[ls - chunk_start - 1])
+                       for k, v in stacked.items()}
+                row["lr_D"] = float(self._lr_sched(ls))
+                self.logger.write_scalars(ls, row)
+            if chunk_end % self.print_steps == 0:
+                last = {k: float(v[-1]) for k, v in stacked.items()}
+                last["lr_D"] = float(self._lr_sched(chunk_end))
+                now = time.time()
+                self.logger.print_log(
+                    chunk_end, self.num_steps, last,
+                    (now - start_time) / max(1, chunk_end - chunk_start),
+                )
+                start_time = now
+
         try:
             while step < self.num_steps and not interrupted["flag"]:
                 boundary = self._next_boundary(step)
@@ -340,31 +369,20 @@ class LogTrainer:
                     self.source.images, drs_images, log_weights, key,
                     jnp.asarray(step, jnp.int32), self.aux,
                 )
-                chunk_start = step
+                prev, pending = pending, (step, boundary, metrics)
                 step = boundary
                 if profiling and step >= profile_until:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"INFO: profiler trace written to {self.profile_dir}")
-                # one host transfer for the whole metric stack
-                stacked = {k: np.asarray(v) for k, v in metrics.items()}
-                last = {k: float(v[-1]) for k, v in stacked.items()}
-                last["lr_D"] = float(self._lr_sched(step))
-
-                # interior log steps covered by this chunk
-                first_log = (chunk_start // self.log_steps + 1) * self.log_steps
-                for ls in range(first_log, step + 1, self.log_steps):
-                    row = {k: float(v[ls - chunk_start - 1])
-                           for k, v in stacked.items()}
-                    row["lr_D"] = float(self._lr_sched(ls))
-                    self.logger.write_scalars(ls, row)
-                if step % self.print_steps == 0:
-                    now = time.time()
-                    self.logger.print_log(
-                        step, self.num_steps, last,
-                        (now - start_time) / max(1, size),
-                    )
-                    start_time = now
+                # log the PREVIOUS chunk while this one runs on device
+                process_pending(prev)
+                if (step % self.vis_steps == 0 or step % self.save_steps == 0
+                        or self._logit_window(step) or step >= self.num_steps):
+                    # boundary actions below synchronize on the new states
+                    # anyway — flush this chunk's logs first, in order
+                    process_pending(pending)
+                    pending = None
                 if step % self.vis_steps == 0:
                     if self.bundle.image_size:
                         self.logger.vis_images(step, self.generate_images())
@@ -390,6 +408,8 @@ class LogTrainer:
                     if self.save_logits and step >= self.save_logit_after:
                         self._save_logit_pickles()
 
+            process_pending(pending)
+            pending = None
             print("INFO: Saving final checkpoints...")
             self._save_checkpoints(step)
             if self.save_logits and step >= self.save_logit_after:
