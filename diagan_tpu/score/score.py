@@ -11,17 +11,17 @@ time-series recorded by the phase-1 trainer (step -> float[N]), compute:
   ldr_conf_{t:.1f}_ratio_50, t in 0.1..9.9
          — clip_max_ratio(clip_min(mean + t*std(ddof=1), 1e-2), ratio=50)
 
-The TPU-native difference: scores are fused jnp reductions over the
-on-device logit buffer (shape [num_snapshots, N]) instead of a python dict
-of numpy arrays, and the 99 `ldr_conf` variants are materialized lazily
-from the shared (mean, std) pair rather than eagerly allocated.
+TPU-native notes: the 99 `ldr_conf` variants are materialized lazily
+from the shared (mean, std) pair rather than eagerly allocated, and the
+math runs in HOST numpy on purpose — the arrays are a few MB, while
+eager jnp ops on the tunneled TPU platform each cost a remote compile
+(observed: >10 min for one calculate_scores call).
 """
 from __future__ import annotations
 
 import re
 from collections.abc import Mapping
 
-import jax.numpy as jnp
 import numpy as np
 
 _CONF_RE = re.compile(r"^ldr_conf_(\d+\.\d)_ratio_(\d+)$")
@@ -29,12 +29,12 @@ _CONF_RE = re.compile(r"^ldr_conf_(\d+\.\d)_ratio_(\d+)$")
 
 def clip_min(score, lower_bd=1e-2):
     """Floor scores at lower_bd (reference plot.py:230-231)."""
-    return jnp.clip(score, min=lower_bd)
+    return np.clip(score, lower_bd, None)
 
 
 def clip_max_ratio(score, ratio=20):
     """Cap scores at min(score)*ratio (reference plot.py:226-228)."""
-    return jnp.clip(score, max=jnp.min(score) * ratio)
+    return np.clip(score, None, np.min(score) * ratio)
 
 
 def ldr_conf_score(mean, std, t, ratio=50, floor=1e-2):
@@ -84,12 +84,12 @@ def _window_stack(logits, start_step, end_step):
     """
     if isinstance(logits, dict):
         steps = sorted(k for k in logits if start_step <= k < end_step)
-        return jnp.asarray(np.stack([np.asarray(logits[k]) for k in steps]))
+        return np.stack([np.asarray(logits[k]) for k in steps])
     steps, buf = logits
     steps = np.asarray(steps)
     mask = (steps >= start_step) & (steps < end_step)
     order = np.argsort(steps[mask], kind="stable")
-    return jnp.asarray(np.asarray(buf)[mask][order])
+    return np.asarray(buf)[mask][order]
 
 
 def calculate_scores(logits, start_epoch=50, end_epoch=75, clip_val=1.5,
@@ -112,17 +112,17 @@ def calculate_scores(logits, start_epoch=50, end_epoch=75, clip_val=1.5,
     """
     arr = _window_stack(logits, start_epoch, end_epoch)
     if normalize_logits:
-        arr = arr - jnp.median(arr, axis=1, keepdims=True)
+        arr = arr - np.median(arr, axis=1, keepdims=True)
     if arr.shape[0] < 2:
         raise ValueError(
             f"need >=2 logit snapshots in window [{start_epoch}, {end_epoch}), "
             f"got {arr.shape[0]}"
         )
-    mean = jnp.mean(arr, axis=0)
-    std = jnp.std(arr, axis=0, ddof=1)
+    mean = np.mean(arr, axis=0)
+    std = np.std(arr, axis=0, ddof=1)
     base = {
         "ldr": np.asarray(arr[-1]),
-        "ldrd": np.asarray(jnp.mean(jnp.abs(arr[1:] - arr[:-1]), axis=0)),
+        "ldrd": np.asarray(np.mean(np.abs(arr[1:] - arr[:-1]), axis=0)),
         "ldrv": np.asarray(std**2),
         "ldrm": np.asarray(mean),
     }
