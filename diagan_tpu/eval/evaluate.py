@@ -134,7 +134,7 @@ def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
     g_state, d_state, d_drs_state = _init_states(bundle)
     g_path = log_dir / "checkpoints" / "netG" / f"netG_{evaluate_step}_steps.pth"
     assert g_path.is_file(), f"missing {g_path}"
-    g_state = ckpt.restore_net(g_state, g_path)
+    g_state = ckpt.restore_net(g_state, g_path, params_only=True)
     if not use_drs:
         return g_state, None
     # --use_original_netD evaluates a phase-1 model's own D under DRS
@@ -143,7 +143,8 @@ def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
     d_dir = Path(netD_ckpt_dir) if netD_ckpt_dir else log_dir / "checkpoints"
     d_path = d_dir / name / f"{name}_{evaluate_step}_steps.pth"
     assert d_path.is_file(), f"missing {d_path}"
-    d_drs_state = ckpt.restore_net(d_drs_state or d_state, d_path)
+    d_drs_state = ckpt.restore_net(d_drs_state or d_state, d_path,
+                                   params_only=True)
     return g_state, d_drs_state
 
 

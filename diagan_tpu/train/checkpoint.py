@@ -31,10 +31,26 @@ def save_net(state, ckpt_dir, name, step) -> Path:
     return path
 
 
-def restore_net(template_state, path):
-    """Restore a NetState from file, using template for pytree structure."""
+def restore_net(template_state, path, params_only=False):
+    """Restore a NetState from file, using template for pytree structure.
+
+    params_only=True restores params/collections/step and keeps the
+    template's optimizer state — for EVAL loads, where the checkpoint's
+    optimizer tree (e.g. linear-decay schedule counters from training)
+    need not match the throwaway eval-side optimizer."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template_state, f.read())
+        data = f.read()
+    if not params_only:
+        return serialization.from_bytes(template_state, data)
+    raw = serialization.msgpack_restore(data)
+    params = serialization.from_state_dict(template_state.params,
+                                           raw["params"])
+    state = serialization.from_state_dict(template_state.state,
+                                          raw.get("state", {}))
+    return template_state.replace(
+        params=params, state=state,
+        step=jax.numpy.asarray(raw.get("step", template_state.step)),
+    )
 
 
 def latest_step(ckpt_dir, name) -> int | None:

@@ -192,3 +192,33 @@ def test_device_minmax_matches_host_normalize():
     host = M.normalize_images(x)
     # identical math; allow 1-count rounding at the fp32 boundary
     assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_eval_restore_ignores_optimizer_structure(tmp_path):
+    """Eval loads must not depend on the TRAINING optimizer's opt_state
+    pytree: a checkpoint saved with a linear-decay schedule restores into
+    an eval template built with a plain Adam (params_only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diagan_tpu.models import get_gan_model
+    from diagan_tpu.train import checkpoint as ckpt
+    from diagan_tpu.train.state import create_net_state
+    from diagan_tpu.train.trainer import _make_tx
+
+    bundle = get_gan_model("color_mnist", loss_type="ns")
+    k = jax.random.key(0)
+    z0 = jnp.zeros((2, bundle.nz))
+    tx_train = _make_tx(2e-4, (0.0, 0.9), 1000, "linear", 5)
+    g_train = create_net_state(bundle.gen, {"params": k}, (z0,), tx_train,
+                               train=True)
+    path = ckpt.save_net(g_train, tmp_path, "netG", 7)
+
+    tx_eval = _make_tx(2e-4, (0.0, 0.9), None, None)
+    g_eval = create_net_state(bundle.gen, {"params": jax.random.key(1)},
+                              (z0,), tx_eval, train=True)
+    restored = ckpt.restore_net(g_eval, path, params_only=True)
+    a = jax.tree.leaves(restored.params)[0]
+    b = jax.tree.leaves(g_train.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(g_train.step)
