@@ -141,7 +141,9 @@ class StyleGAN2Trainer:
 
         self.ada = AdaptiveAugment(ada_target, ada_length) \
             if augment_p == 0 else None
-        self.ada_aug_p = augment_p
+        # argparse can deliver an int literal 0 here; the augment pipeline
+        # (jax.random.bernoulli) requires a float probability
+        self.ada_aug_p = float(augment_p)
         self.logit_results = {}
         self._build_steps()
 
