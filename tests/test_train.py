@@ -153,3 +153,20 @@ def test_concat_d_pass_batch_decoupled():
         np.asarray(l_all), np.concatenate([np.asarray(l_a), np.asarray(l_b)]),
         atol=1e-5,
     )
+
+
+def test_pipelined_logging_writes_every_log_step(tmp_path, tiny_dataset):
+    """Chunked+pipelined logging must emit a scalar row for EVERY
+    log_steps multiple (interior rows come from the stacked metrics),
+    in order, through vis/save/logit boundaries and loop exit."""
+    import json
+
+    tr = _make_trainer(tmp_path, tiny_dataset, num_steps=12, log_steps=2,
+                       print_steps=4, vis_steps=12, save_steps=12,
+                       logit_save_steps=6, save_logit_after=6,
+                       stop_save_logit_after=12)
+    tr.train()
+    rows = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    steps = [r["step"] for r in rows]
+    assert steps == list(range(2, 13, 2)), steps
+    assert all("errD" in r and "lr_D" in r for r in rows)
