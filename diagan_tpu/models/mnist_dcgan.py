@@ -56,13 +56,18 @@ class MNISTDCGANDiscriminator(nn.Module):
             )
 
         def conv(h, width, stride):
+            # Explicit (1,1) padding, not "SAME": torch's k3/s2/p1 samples
+            # windows at 2t-1 (pad lo=1), while XLA SAME at stride 2 pads
+            # (0,1) — a one-pixel grid shift. (1,1) is bit-identical to
+            # SAME for the stride-1 layers and matches torch for stride 2.
+            pad = ((1, 1), (1, 1))
             if self.use_sn:
                 from diagan_tpu.models.layers import SNConv
 
                 return SNConv(width, (3, 3), strides=(stride, stride),
-                              padding="SAME", use_bias=False)(h, update_stats)
+                              padding=pad, use_bias=False)(h, update_stats)
             return nn.Conv(width, (3, 3), strides=(stride, stride),
-                           padding="SAME", use_bias=False, kernel_init=_INIT)(h)
+                           padding=pad, use_bias=False, kernel_init=_INIT)(h)
 
         specs = [(16, 2), (32, 1), (64, 2), (128, 1), (256, 2), (512, 1)]
         h = x

@@ -40,6 +40,13 @@ def restore_net(template_state, path, params_only=False):
     need not match the throwaway eval-side optimizer."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:4] == b"PK\x03\x04":
+        # A reference-trained torch pickle (zip container) dropped into the
+        # ckpt_dir: convert it (params/collections/step; optimizer state
+        # keeps the template's, as in params-only restores).
+        from diagan_tpu.utils.torch_import import import_torch_net
+
+        return import_torch_net(template_state, path)
     if not params_only:
         return serialization.from_bytes(template_state, data)
     raw = serialization.msgpack_restore(data)

@@ -504,7 +504,29 @@ class StyleGAN2Trainer:
         }
         with open(path, "rb") as f:
             data = f.read()
-        if self.d_drs_state is not None:
+        if data[:4] == b"PK\x03\x04":
+            # A reference torch {iter:06d}.pt (train_ffhq.py:368-379):
+            # convert g/d/g_ema in place of the msgpack path; optimizer
+            # states keep the template's (torch Adam moments don't map).
+            from diagan_tpu.utils import torch_import as ti
+
+            size = 2 ** ((self.n_latent + 2) // 2)
+            conv = ti.import_stylegan2_checkpoint(path, size)
+            payload = dict(template)
+            for k in ("g", "d", "g_ema"):
+                src = conv.get(k, conv.get("g" if k == "g_ema" else k))
+                payload[k] = serialization.from_state_dict(template[k], src)
+            payload["ada_aug_p"] = conv.get("ada_aug_p", 0.0)
+            try:
+                payload["step"] = int(Path(path).stem)
+            except ValueError:
+                pass
+            if self.d_drs_state is not None:
+                payload["drs_d"] = serialization.from_state_dict(
+                    jax.device_get(self.d_drs_state.params),
+                    conv.get("drs_d", conv["d"]),
+                )
+        elif self.d_drs_state is not None:
             full = dict(template)
             full["drs_d"] = jax.device_get(self.d_drs_state.params)
             full["drs_d_optim"] = jax.device_get(self.d_drs_state.opt_state)
