@@ -409,6 +409,42 @@ def test_stylegan2_discriminator_import_forward_parity():
     np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-4, rtol=1e-3)
 
 
+def test_stylegan2_trainer_loads_reference_pt(tmp_path):
+    """The trainer's load_ckpt sniffs a reference torch {iter:06d}.pt and
+    converts g/d/g_ema, taking the step from the filename."""
+    from diagan_tpu.models.stylegan2 import (
+        StyleGAN2Discriminator,
+        StyleGAN2Generator,
+    )
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    g_sd = _fabricate_sg2_g_sd()
+    d_sd = _fabricate_sg2_d_sd()
+    path = tmp_path / "012000.pt"
+    torch.save(
+        {
+            "g": {k: torch.from_numpy(np.array(v)) for k, v in g_sd.items()},
+            "d": {k: torch.from_numpy(np.array(v)) for k, v in d_sd.items()},
+            "g_ema": {k: torch.from_numpy(np.array(v)) for k, v in g_sd.items()},
+            "ada_aug_p": 0.25,
+        },
+        path,
+    )
+
+    imgs = np.random.default_rng(0).integers(0, 255, (8, 16, 16, 3), np.uint8)
+    tr = StyleGAN2Trainer(
+        tmp_path, StyleGAN2Generator(size=16), StyleGAN2Discriminator(size=16),
+        imgs, num_steps=1, batch_size=2, log_every=1, save_every=10000,
+    )
+    step = tr.load_ckpt(path)
+    assert step == 12000
+    assert tr.ada_aug_p == pytest.approx(0.25)
+    got = np.asarray(tr.g_state.params["mapping"]["EqualDense_0"]["kernel"])
+    np.testing.assert_allclose(got, g_sd["style.1.weight"].T, atol=1e-6)
+    ema = np.asarray(tr.g_ema["synthesis"]["conv1"]["bias"])
+    np.testing.assert_allclose(ema, g_sd["conv1.activate.bias"], atol=1e-6)
+
+
 def test_unknown_state_dict_raises(tmp_path):
     from diagan_tpu.utils.torch_import import convert_state_dict
 
