@@ -122,7 +122,51 @@ def load_celeba(root, size=64, fallback_n=20000, seed=3):
         np.save(cache, images)
         return images, load_celeba_attrs(attr_file, len(images))
     images, _ = synthetic.synthetic_natural(fallback_n, size, seed=seed)
-    return images, np.zeros((fallback_n, 40), np.int8)
+    return images, synthetic_celeba_attrs(images, seed=seed)
+
+
+def synthetic_celeba_attrs(images: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic pseudo-attributes for the synthetic CelebA fallback.
+
+    Each of the 40 attributes is the sign of a (seeded) random projection
+    of simple per-image statistics (region brightness, channel means,
+    contrast), thresholded at its median. This keeps the attribute tooling
+    (train_convnet_celeba / count_attr_celeba / disc_score / partial
+    recall) exercisable offline: attrs are a learnable function of the
+    image, each ~50/50 except Bald/Mustache-style rarities which use a
+    90th-percentile threshold to mimic imbalanced real attributes.
+    Flagged synthetic — real runs parse list_attr_celeba.txt instead.
+    """
+    x = images.astype(np.float32) / 255.0
+    h = x.shape[1] // 2
+    w = x.shape[2] // 2
+    feats = np.stack(
+        [
+            x.mean(axis=(1, 2, 3)),
+            x[:, :h].mean(axis=(1, 2, 3)),
+            x[:, h:].mean(axis=(1, 2, 3)),
+            x[:, :, :w].mean(axis=(1, 2, 3)),
+            x[:, :, w:].mean(axis=(1, 2, 3)),
+            x[..., 0].mean(axis=(1, 2)),
+            x[..., 1].mean(axis=(1, 2)),
+            x[..., 2].mean(axis=(1, 2)),
+            x.std(axis=(1, 2, 3)),
+            np.abs(np.diff(x, axis=1)).mean(axis=(1, 2, 3)),
+        ],
+        axis=1,
+    )
+    feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-8)
+    rng = np.random.default_rng(1000 + seed)
+    proj = rng.normal(size=(feats.shape[1], 40)).astype(np.float32)
+    scores = feats @ proj
+    # rare attributes (10% positive), matching CelebA's skewed columns
+    rare = {4, 13, 14, 16, 17, 22, 35, 38}  # Bald, Chubby, Double_Chin, ...
+    attrs = np.empty((len(images), 40), np.int8)
+    for j in range(40):
+        q = 90.0 if j in rare else 50.0
+        attrs[:, j] = np.where(scores[:, j] > np.percentile(scores[:, j], q),
+                               1, -1)
+    return attrs
 
 
 def load_celeba_attrs(attr_file, n: int) -> np.ndarray:

@@ -56,6 +56,12 @@ class StepConfig(NamedTuple):
     # d_step, per-64-batch G BatchNorm stats).
     concat_d: bool = False  # fuse D(real)/D(fake) into one pass when safe
     fuse_g: bool = False    # batch the n_dis stop-grad G forwards into one
+    # FusedProp-style shared last iteration: the G update reuses the final
+    # D update's fake batch and sees the PRE-update D params (simultaneous
+    # update semantics — an algorithmic deviation from the reference's
+    # sequential D-then-G, so opt-in). Saves one G forward and one D
+    # forward per step; XLA CSE merges the duplicated fake-branch forward.
+    simultaneous_g: bool = False
 
 
 def _gather(images, idx, quantized):
@@ -223,6 +229,73 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
         new_d = NetState(d_state.params, new_d_state, d_state.opt_state, d_state.step)
         return new_g, new_d, {"errG": loss, **aux_metrics}
 
+    def gd_step(g_state: NetState, d_state: NetState, real, z, rng,
+                gold_active, topk_rate):
+        """Shared last iteration (cfg.simultaneous_g): one G forward feeds
+        both the D update (stop-grad) and the G update (pre-update D
+        params). The duplicated D fake-branch forward has bit-identical
+        primal graphs, so XLA CSE emits it once."""
+
+        def loss_fn(both_params):
+            d_params, g_params = both_params
+            fakes, new_g_collections = gen_fwd(
+                g_params, g_state.state, z, rng, mutable=True
+            )
+            (lr_, aux_r), st1 = d_fwd(d_params, d_state.state, real, rng, True)
+            (lf_d, _), st2 = d_fwd(
+                d_params, st1, jax.lax.stop_gradient(fakes), rng, True
+            )
+            loss_d = _d_loss(cfg, cfg.loss_type, lr_, lf_d, gold_active)
+            d_params_sg = jax.tree.map(jax.lax.stop_gradient, d_params)
+            (lf_g, aux_f), _ = d_fwd(d_params_sg, st1, fakes, rng, True)
+            if cfg.topk:
+                sorted_logits, mask = L.topk_filter(lf_g, topk_rate)
+                loss_g = L.masked_gen_loss(cfg.loss_type, sorted_logits, mask)
+            else:
+                loss_g = L.GEN_LOSSES[cfg.loss_type](lf_g)
+            if cfg.model == "ssgan":
+                rot_r, labels_r = L.rotate_batch_4way(real)
+                (_, aux_rot_r), st2 = d_fwd(d_params, st2, rot_r, rng, False)
+                loss_d = loss_d + 1.0 * L.ss_rotation_loss(
+                    aux_rot_r["ss_logits"], labels_r
+                )
+                rot_f, labels_f = L.rotate_batch_4way(fakes)
+                (_, aux_rot_f), _ = d_fwd(d_params_sg, st2, rot_f, rng, False)
+                loss_g = loss_g + 0.2 * L.ss_rotation_loss(
+                    aux_rot_f["ss_logits"], labels_f
+                )
+            elif cfg.model == "infomax_gan":
+                loss_d = loss_d + 0.2 * L.infonce_loss(
+                    aux_r["local_proj"], aux_r["global_proj"]
+                )
+                loss_g = loss_g + 0.2 * L.infonce_loss(
+                    aux_f["local_proj"], aux_f["global_proj"]
+                )
+            return loss_d + loss_g, (
+                new_g_collections, st2, loss_d, loss_g, lr_, lf_d
+            )
+
+        (_, (new_g_coll, new_d_coll, loss_d, loss_g, lr_, lf_)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                (d_state.params, g_state.params)
+            )
+        d_grads, g_grads = grads
+        if cfg.axis_name:
+            d_grads = jax.lax.pmean(d_grads, cfg.axis_name)
+            g_grads = jax.lax.pmean(g_grads, cfg.axis_name)
+        d_updates, d_opt = tx_d.update(d_grads, d_state.opt_state,
+                                       d_state.params)
+        g_updates, g_opt = tx_g.update(g_grads, g_state.opt_state,
+                                       g_state.params)
+        new_d = NetState(optax.apply_updates(d_state.params, d_updates),
+                         new_d_coll, d_opt, d_state.step + 1)
+        new_g = NetState(optax.apply_updates(g_state.params, g_updates),
+                         new_g_coll, g_opt, g_state.step + 1)
+        return new_g, new_d, {
+            "errD": loss_d, "errG": loss_g,
+            "D(x)": jnp.mean(lr_), "D(G(z))": jnp.mean(lf_),
+        }
+
     def fused_step(g_state, d_state, d_drs_state, images, drs_images,
                    log_weights, key, global_step, aux=None):
         """One reference-equivalent training step (n_dis D upd + 1 G upd)."""
@@ -294,6 +367,63 @@ def make_fused_step(gen, disc, disc_drs, tx_g, tx_d, tx_d_drs, cfg: StepConfig,
             metrics["topk_rate"] = topk_rate
         return g_state, d_state, d_drs_state, metrics
 
+    def fused_step_simultaneous(g_state, d_state, d_drs_state, images,
+                                drs_images, log_weights, key, global_step,
+                                aux=None):
+        """fused_step with the last D update and the G update merged
+        (cfg.simultaneous_g). First n_dis-1 D updates are sequential as
+        usual; DRS-D keeps its own n_dis updates."""
+        if cfg.axis_name:
+            key = jax.random.fold_in(key, jax.lax.axis_index(cfg.axis_name))
+        gold_active = jnp.logical_and(cfg.gold, global_step >= cfg.gold_step)
+        topk_rate = (
+            L.topk_rate_at(global_step, cfg.epoch_steps) if cfg.topk else 1.0
+        )
+        metrics = {}
+        n, bs = cfg.n_dis, cfg.batch_size
+
+        def iter_fakes(k_z, k_rng):
+            z = jax.random.normal(k_z, (bs, cfg.nz))
+            f, _ = gen_fwd(g_state.params, g_state.state, z, k_rng,
+                           mutable=False)
+            return jax.lax.stop_gradient(f)
+
+        for i in range(n):
+            k_iter = jax.random.fold_in(key, i)
+            k_idx, k_z, k_rng, k_didx, k_dz, _ = jax.random.split(k_iter, 6)
+            idx = _sample_idx(k_idx, num_data, log_weights, (bs,))
+            real = _gather(images, idx, cfg.quantized)
+            if i == n - 1:
+                z = jax.random.normal(k_z, (bs, cfg.nz))
+                g_state, d_state, gd_metrics = gd_step(
+                    g_state, d_state, real, z, k_rng, gold_active, topk_rate
+                )
+                metrics.update(gd_metrics)
+            else:
+                d_state, d_metrics = d_step(
+                    d_state, tx_d, d_fwd, cfg.loss_type, real,
+                    iter_fakes(k_z, k_rng), k_rng, gold_active,
+                )
+                metrics.update(d_metrics)
+            if cfg.use_drs:
+                didx = sample_uniform_indices(k_didx, drs_num_data, (bs,))
+                drs_real = _gather(drs_images, didx, cfg.quantized)
+                d_drs_state, drs_metrics = d_step(
+                    d_drs_state, tx_d_drs, d_drs_fwd, cfg.drs_loss_type,
+                    drs_real, iter_fakes(k_dz, k_rng), k_rng,
+                    jnp.asarray(False),
+                )
+                metrics["errD_drs"] = drs_metrics["errD"]
+        if cfg.topk:
+            metrics["topk_rate"] = topk_rate
+        return g_state, d_state, d_drs_state, metrics
+
+    if cfg.simultaneous_g:
+        if g_aux_loss is not None:
+            raise ValueError(
+                "simultaneous_g is incompatible with g_aux_loss hooks"
+            )
+        return fused_step_simultaneous
     return fused_step
 
 

@@ -82,7 +82,12 @@ class LogTrainer:
         seed=0,
         weight_eps=1e-6,
         profile_dir=None,
+        step_fusions=None,
     ):
+        # step_fusions: optional dict of StepConfig probe knobs
+        # ({'concat_d', 'fuse_g', 'simultaneous_g'} -> bool); all default
+        # False = exact reference step semantics (see steps.StepConfig)
+        self.step_fusions = dict(step_fusions or {})
         # jax.profiler trace over the first chunks when requested
         self.profile_dir = profile_dir
         self.output_path = Path(output_path)
@@ -179,6 +184,7 @@ class LogTrainer:
             epoch_steps=self.epoch_steps,
             use_drs=self.train_drs,
             quantized=self.source._quantized,
+            **self.step_fusions,
         )
         self.cfg = cfg
         self._make_fused_step = lambda g_aux_loss=None: make_fused_step(

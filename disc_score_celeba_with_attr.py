@@ -34,9 +34,16 @@ def main():
           f"var: {sample_weights.var()}, max: {sample_weights.max()}, "
           f"min: {sample_weights.min()}")
 
-    train_num = 162770  # CelebA train split (reference :41)
-    attrs = load_celeba_attrs(Path(args.root) / "list_attr_celeba.txt",
-                              n=train_num + 40000)
+    # CelebA train split (reference :41); capped to the logit-record length
+    # when running on the reduced-N synthetic fallback
+    train_num = min(162770, len(sample_weights))
+    attr_file = Path(args.root) / "list_attr_celeba.txt"
+    if attr_file.is_file():
+        attrs = load_celeba_attrs(attr_file, n=train_num + 40000)
+    else:
+        from diagan_tpu.data.sources import load_celeba
+
+        _, attrs = load_celeba(args.root)
     col = CELEBA_ATTR_NAMES.index(args.attr)
     attr_index = np.where(attrs[:, col] == 1)[0]
     not_attr_index = np.where(attrs[:, col] != 1)[0]

@@ -85,3 +85,30 @@ def test_full_sweep_index_batches():
     visited = idx[mask]
     np.testing.assert_array_equal(np.sort(visited), np.arange(10))
     assert mask.sum() == 10
+
+
+def test_synthetic_celeba_attrs_learnable_and_deterministic():
+    from diagan_tpu.data.sources import synthetic_celeba_attrs
+    from diagan_tpu.data.synthetic import synthetic_natural
+
+    images, _ = synthetic_natural(400, 64, seed=3)
+    a1 = synthetic_celeba_attrs(images, seed=3)
+    a2 = synthetic_celeba_attrs(images, seed=3)
+    np.testing.assert_array_equal(a1, a2)
+    assert a1.shape == (400, 40) and set(np.unique(a1)) <= {-1, 1}
+    # balanced attrs ~50% positive; rare ones (e.g. Bald, col 4) ~10%
+    pos = (a1 == 1).mean(axis=0)
+    assert 0.4 < pos[0] < 0.6
+    assert 0.05 < pos[4] < 0.2
+    # attrs are a function of image statistics: a linear probe on the same
+    # stats family must beat chance by a wide margin
+    x = images.astype(np.float32) / 255.0
+    feats = np.stack(
+        [x.mean(axis=(1, 2, 3)), x[..., 0].mean(axis=(1, 2)),
+         x[..., 1].mean(axis=(1, 2)), x[..., 2].mean(axis=(1, 2)),
+         x.std(axis=(1, 2, 3))], axis=1)
+    y = (a1[:, 0] == 1).astype(np.float32)
+    A = np.concatenate([feats, np.ones((len(y), 1))], axis=1)
+    w, *_ = np.linalg.lstsq(A, y, rcond=None)
+    acc = (((A @ w) > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.7

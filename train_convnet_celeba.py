@@ -34,8 +34,13 @@ def main():
     col = CELEBA_ATTR_NAMES.index(args.attr)
     labels = (attrs[:, col] == 1).astype(np.int64)
 
-    # CelebA official split boundaries (train/valid/test)
-    tr, va = 162770, 182637
+    # CelebA official split boundaries (train/valid/test); scaled
+    # proportionally when running on the reduced-N synthetic fallback
+    if len(images) >= 202599:
+        tr, va = 162770, 182637
+    else:
+        tr = int(len(images) * 162770 / 202599)
+        va = int(len(images) * 182637 / 202599)
     model = AttrClassifier(num_attrs=2)
     params, state, history = train_classifier(
         model, images[:tr], labels[:tr], epochs=args.num_epochs,

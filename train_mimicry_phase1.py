@@ -34,6 +34,7 @@ def main():
     parser.add_argument("--celeba_class_attr", default="glass", type=str)
     parser.add_argument("--ckpt_step", type=int)
     parser.add_argument("--no_save_logits", action="store_true")
+    parser.add_argument("--no_schedule_override", action="store_true")
     parser.add_argument("--save_logit_after", default=30000, type=int)
     parser.add_argument("--stop_save_logit_after", default=60000, type=int)
     add_common_train_flags(parser)
@@ -51,13 +52,17 @@ def main():
     )
     ds_train = get_predefined_dataset(dataset_name=args.dataset, root=args.root)
 
-    # dataset-conditional schedule overrides (reference :82-92)
-    if args.dataset == "celeba":
+    # dataset-conditional schedule overrides (reference :82-92);
+    # --no_schedule_override is additive (not in the reference): it keeps
+    # the user's --num_steps/--save_logit_after for short validation runs
+    if args.no_schedule_override:
+        pass
+    elif args.dataset == "celeba":
         args.num_steps = 75000
         args.logit_save_steps = 100
         args.save_logit_after = 55000
         args.stop_save_logit_after = 60000
-    if args.dataset == "cifar10":
+    elif args.dataset == "cifar10":
         args.num_steps = 50000
         args.logit_save_steps = 100
         args.save_logit_after = 35000
