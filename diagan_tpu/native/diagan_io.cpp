@@ -208,6 +208,26 @@ int dl_next(void* h, float* out_data, int64_t* out_idx) {
 }
 void dl_destroy(void* h) { delete static_cast<Loader*>(h); }
 
+// Threaded fancy-index gather: out[i] = base[idx[i]] (uint8 items of
+// item_elems each). Used by the host-streaming StyleGAN2 data path to
+// assemble chunk batch stacks from a memory-mapped dataset.
+void gather_u8(const uint8_t* base, int64_t item_elems, const int64_t* idx,
+               int64_t count, uint8_t* out, int threads) {
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> ts;
+  int64_t chunk = (count + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(count, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=] {
+      for (int64_t i = lo; i < hi; ++i)
+        std::memcpy(out + i * item_elems, base + idx[i] * item_elems,
+                    item_elems);
+    });
+  }
+  for (auto& t : ts) t.join();
+}
+
 void normalize_u8_f32(const uint8_t* in, float* out, int64_t n, int threads) {
   if (threads < 1) threads = 1;
   std::vector<std::thread> ts;

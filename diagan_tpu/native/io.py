@@ -63,6 +63,9 @@ def _load():
         lib.dl_destroy.argtypes = [ctypes.c_void_p]
         lib.normalize_u8_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_int64, ctypes.c_int]
+        lib.gather_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -165,6 +168,29 @@ class NativeLoader:
 
     def __del__(self):
         self.close()
+
+
+def gather_u8(images: np.ndarray, idx: np.ndarray, threads: int = 4
+              ) -> np.ndarray:
+    """out[i] = images[idx[i]] via the threaded native gather (numpy
+    fancy-index fallback). `images` may be a np.memmap — only the touched
+    pages are read, which is what makes host-streaming over a
+    larger-than-HBM dataset cheap."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return np.ascontiguousarray(images[idx])
+    assert images.dtype == np.uint8
+    item_elems = int(np.prod(images.shape[1:]))
+    # no-copy when already C-contiguous (incl. np.memmap)
+    base = np.ascontiguousarray(images)
+    out = np.empty((len(idx),) + images.shape[1:], np.uint8)
+    lib.gather_u8(
+        base.ctypes.data_as(ctypes.c_void_p), item_elems,
+        idx.ctypes.data_as(ctypes.c_void_p), len(idx),
+        out.ctypes.data_as(ctypes.c_void_p), threads,
+    )
+    return out
 
 
 def normalize_u8(images: np.ndarray, threads: int = 8) -> np.ndarray:

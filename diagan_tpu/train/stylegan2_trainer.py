@@ -79,7 +79,19 @@ class StyleGAN2Trainer:
         seed=0,
         mesh=None,
         axis_name="data",
+        stream_data=None,
+        hbm_data_budget=6 << 30,
     ):
+        # stream_data: None = auto (stream when the uint8 dataset exceeds
+        # hbm_data_budget bytes), True/False = force. In streaming mode the
+        # dataset stays host-resident (np.memmap-friendly); each scanned
+        # chunk receives its real batches as a small uint8 stack assembled
+        # by the native runtime (alias-method weighted sampling + threaded
+        # gather, native/diagan_io.cpp) — this is what makes full-scale
+        # FFHQ-256 (13.8GB) trainable on a single chip. The fake/augment
+        # RNG streams match the HBM mode; the real-batch index stream is
+        # host-side (documented deviation within an already-stochastic
+        # sampler).
         # Optional data parallelism: with a Mesh, every step program is
         # shard_map'd with replicated states, per-device key streams
         # (axis-index folding) and pmean gradient reduction; batch_size is
@@ -109,8 +121,28 @@ class StyleGAN2Trainer:
         self.style_dim = gen.style_dim
         self.n_latent = int(math.log2(gen.size)) * 2 - 2
 
-        self.images = jnp.asarray(dataset_images)  # uint8 NHWC, HBM-resident
         self.num_data = len(dataset_images)
+        if stream_data is None:
+            stream_data = dataset_images.nbytes > hbm_data_budget
+        self.stream = bool(stream_data)
+        if self.stream:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "stream_data with a device mesh is not wired yet; "
+                    "use per-host dataset shards + hbm mode, or mesh=None"
+                )
+            from diagan_tpu.native import io as nio
+
+            self.images = None
+            self.images_np = dataset_images  # uint8 NHWC, host/memmap
+            self._w_sampler = (
+                nio.NativeWeightedSampler(sample_weights, seed=seed)
+                if sample_weights is not None else None
+            )
+            self._u_rng = np.random.default_rng(seed + 1)
+            self._gather = nio.gather_u8
+        else:
+            self.images = jnp.asarray(dataset_images)  # uint8 NHWC, HBM
         self.log_weights = (
             log_weights_from_scores(sample_weights)
             if sample_weights is not None else None
@@ -213,10 +245,13 @@ class StyleGAN2Trainer:
             return self._gen_apply(g_params, z1, z2, mixing_cutoff(kc), kn)
 
         def d_step_for(disc, tx, weighted):
-            def step(d_state, g_params, key, ada_p, images):
+            def step(d_state, g_params, key, ada_p, images, real_u8=None):
                 key = self._maybe_fold(key)
                 kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
-                real, _ = draw_batch(kdata, weighted, images)
+                if real_u8 is not None:  # host-streamed batch (uint8)
+                    real = real_u8.astype(jnp.float32) / 127.5 - 1.0
+                else:
+                    real, _ = draw_batch(kdata, weighted, images)
                 fake = jax.lax.stop_gradient(fakes(g_params, kfake))
                 real_a = augment(real, kaug1, ada_p)
                 fake_a = augment(fake, kaug2, ada_p)
@@ -241,10 +276,13 @@ class StyleGAN2Trainer:
             return step
 
         def d_r1_for(disc, tx, weighted):
-            def step(d_state, key, ada_p, images):
+            def step(d_state, key, ada_p, images, real_u8=None):
                 key = self._maybe_fold(key)
                 kdata, kaug = jax.random.split(key)
-                real, _ = draw_batch(kdata, weighted, images)
+                if real_u8 is not None:
+                    real = real_u8.astype(jnp.float32) / 127.5 - 1.0
+                else:
+                    real, _ = draw_batch(kdata, weighted, images)
                 real = augment(real, kaug, ada_p)
 
                 def r1_fn(p):
@@ -304,19 +342,32 @@ class StyleGAN2Trainer:
         # reference train_ffhq.py:212-311), letting one dispatch cover
         # the full stretch between logging boundaries.
         def full_step(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, gstep, images):
+                      ada_p, gstep, images, step_xs=None, r1_xs=None,
+                      r1_slot=None):
+            # step_xs: host-streamed per-step uint8 batches
+            # ({'d','drs'}), r1_xs: per-chunk r1 batch stacks
+            # [n_r1_max, bs, ...] indexed by r1_slot (only read inside the
+            # cond branch, so non-R1 steps never touch them)
+            xs_d = step_xs["d"] if step_xs is not None else None
+            xs_dd = step_xs.get("drs") if step_xs is not None else None
             kd, kdd, kg, kr1, kpl = jax.random.split(key, 5)
-            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p, images)
+            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p, images,
+                                  xs_d)
             if drs_plain is not None:
                 d_drs_state, _ = drs_plain(
-                    d_drs_state, g_state.params, kdd, ada_p, images
+                    d_drs_state, g_state.params, kdd, ada_p, images, xs_dd
                 )
 
             def with_r1(args):
                 d, dd = args
-                d, rm = d_r1_raw(d, kr1, ada_p, images)
+                r1_d = r1_dd = None
+                if r1_xs is not None:
+                    r1_d = jnp.take(r1_xs["d"], r1_slot, axis=0)
+                    if "drs" in r1_xs:
+                        r1_dd = jnp.take(r1_xs["drs"], r1_slot, axis=0)
+                d, rm = d_r1_raw(d, kr1, ada_p, images, r1_d)
                 if drs_r1_raw is not None:
-                    dd, _ = drs_r1_raw(dd, kr1, ada_p, images)
+                    dd, _ = drs_r1_raw(dd, kr1, ada_p, images, r1_dd)
                 return d, dd, rm["r1"]
 
             def no_r1(args):
@@ -369,7 +420,35 @@ class StyleGAN2Trainer:
 
             return self._jit(chunk, 9)
 
+        def make_stream_chunk(n):
+            def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                      ada_p, start_step, step_xs, r1_xs):
+                dre = self.d_reg_every
+                first_slot_step = (start_step + dre - 1) // dre
+
+                def body(carry, scanned):
+                    i, xs = scanned
+                    g, d, dd, ema, plm = carry
+                    gstep = start_step + i
+                    slot = jnp.clip(gstep // dre - first_slot_step, 0, None)
+                    g, d, dd, ema, plm, m = full_step(
+                        g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                        ada_p, gstep, None, xs, r1_xs, slot,
+                    )
+                    return (g, d, dd, ema, plm), m
+
+                (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
+                    jax.lax.scan(
+                        body,
+                        (g_state, d_state, d_drs_state, g_ema, pl_mean),
+                        (jnp.arange(n, dtype=jnp.int32), step_xs),
+                    )
+                return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
+
+            return self._jit(chunk, 10)
+
         self._make_chunk = make_chunk
+        self._make_stream_chunk = make_stream_chunk
 
         def g_path_reg(g_state, g_ema, key, pl_mean):
             key = self._maybe_fold(key)
@@ -424,6 +503,44 @@ class StyleGAN2Trainer:
 
 
     # ------------------------------------------------------------------
+    def _host_stacks(self, start, n):
+        """Assemble one chunk's real batches on host (streaming mode):
+        weighted indices from the native alias sampler, pixels via the
+        threaded native gather (mmap-friendly). Returns
+        (step_xs {'d'[,'drs']}: [n, bs, ...] uint8,
+         r1_xs same keys: [n//dre+1, bs, ...] uint8 — slot j = j-th R1
+         firing inside this chunk; unfired slots stay zero, never read)."""
+        bs = self.batch_size
+        dre = self.d_reg_every
+        shape = self.images_np.shape[1:]
+
+        def draw(count, weighted):
+            if weighted and self._w_sampler is not None:
+                return self._w_sampler.sample(count)
+            return self._u_rng.integers(0, self.num_data, count)
+
+        xs = {
+            "d": jnp.asarray(
+                self._gather(self.images_np, draw(n * bs, True))
+                .reshape((n, bs) + shape)
+            )
+        }
+        if self.drs_disc is not None:
+            xs["drs"] = jnp.asarray(
+                self._gather(self.images_np, draw(n * bs, False))
+                .reshape((n, bs) + shape)
+            )
+        n_slots = n // dre + 1  # static in n -> one compiled program per n
+        r1 = {"d": np.zeros((n_slots, bs) + shape, np.uint8)}
+        if self.drs_disc is not None:
+            r1["drs"] = np.zeros_like(r1["d"])
+        fires = [i for i in range(n) if (start + i) % dre == 0]
+        for j, i in enumerate(fires):
+            r1["d"][j] = self._gather(self.images_np, draw(bs, True))
+            if self.drs_disc is not None:
+                r1["drs"][j] = self._gather(self.images_np, draw(bs, False))
+        return xs, {k: jnp.asarray(v) for k, v in r1.items()}
+
     def _record_logits(self, step, batch=64):
         """Full-dataset D sweep (the reference's per-example logit
         recording, train_ffhq.py:128-161) as ONE jitted lax.scan over
@@ -435,6 +552,34 @@ class StyleGAN2Trainer:
             else self.d_state.params
         )
         name = "netD_drs" if self.drs_disc is not None else "netD"
+
+        if self.stream:
+            # slab the host dataset through one jitted per-slab sweep
+            # (uint8 across the link, one dispatch per slab)
+            slab_batches = 64  # 64*batch images per dispatch
+            if not hasattr(self, "_slab_sweep"):
+                @jax.jit
+                def slab_sweep(params, slab):  # [nb, batch, ...] uint8
+                    def body(_, x):
+                        x = x.astype(jnp.float32) / 127.5 - 1.0
+                        return None, self._disc_apply(disc, params, x)
+
+                    _, logits = jax.lax.scan(body, None, slab)
+                    return logits.reshape(-1)
+
+                self._slab_sweep = slab_sweep
+            S = slab_batches * batch
+            out = np.empty(self.num_data, np.float64)
+            for lo in range(0, self.num_data, S):
+                idx = np.arange(lo, lo + S).clip(max=self.num_data - 1)
+                slab = self._gather(self.images_np, idx).reshape(
+                    (slab_batches, batch) + self.images_np.shape[1:]
+                )
+                got = np.asarray(self._slab_sweep(params, jnp.asarray(slab)))
+                take = min(S, self.num_data - lo)
+                out[lo:lo + take] = got[:take]
+            self.logit_results.setdefault(f"{name}_eval", {})[step] = out
+            return
 
         if not hasattr(self, "_logit_sweep"):
             n_batches = -(-self.num_data // batch)
@@ -570,13 +715,25 @@ class StyleGAN2Trainer:
             self.key, kc = jax.random.split(self.key)
             n = self._next_boundary(step) - step
             if n not in self._plain_chunks:
-                self._plain_chunks[n] = self._make_chunk(n)
-            (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-             self.pl_mean, ms) = self._plain_chunks[n](
-                self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-                self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
-                self.images,
-            )
+                self._plain_chunks[n] = (
+                    self._make_stream_chunk(n) if self.stream
+                    else self._make_chunk(n)
+                )
+            if self.stream:
+                step_xs, r1_xs = self._host_stacks(step, n)
+                (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+                 self.pl_mean, ms) = self._plain_chunks[n](
+                    self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+                    self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
+                    step_xs, r1_xs,
+                )
+            else:
+                (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+                 self.pl_mean, ms) = self._plain_chunks[n](
+                    self.g_state, self.d_state, self.d_drs_state, self.g_ema,
+                    self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
+                    self.images,
+                )
             signs = np.asarray(ms["sign_real"])
             if self.ada is not None:
                 for v in signs:

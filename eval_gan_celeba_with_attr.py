@@ -40,12 +40,20 @@ def build_parser():
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--netG_ckpt_step", type=int)
     parser.add_argument("--netG_train_mode", action="store_true")
+    # additive (not in the reference, which hardcodes 10k/10k):
+    # shrink sample counts for smoke/validation runs
+    parser.add_argument("--num_real_samples", default=10000, type=int)
+    parser.add_argument("--num_fake_samples", default=10000, type=int)
     return parser
 
 
-def run(args, use_drs=False, use_original_netD=False, num_fake=10000,
-        num_real=10000):
+def run(args, use_drs=False, use_original_netD=False, num_fake=None,
+        num_real=None):
     enable_compile_cache()
+    if num_fake is None:
+        num_fake = getattr(args, "num_fake_samples", 10000)
+    if num_real is None:
+        num_real = getattr(args, "num_real_samples", 10000)
     save_path = Path(f"{args.work_dir}/{args.exp_name}")
     set_seed(args.seed)
     assert args.netG_ckpt_step

@@ -56,6 +56,9 @@ def build_parser():
     # the synthesis network and D backbone (params/optimizer stay fp32).
     # Measured 1.23x per-step at 256px on v5e (675 -> 548 ms).
     parser.add_argument("--bf16", action="store_true")
+    # additive: force host-streamed data (auto-enabled when the dataset
+    # exceeds the HBM budget; see StyleGAN2Trainer stream_data)
+    parser.add_argument("--stream_data", action="store_true")
     return parser
 
 
@@ -99,6 +102,7 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         save_logit_after=args.save_logit_after,
         stop_save_logit_after=args.stop_save_logit_after,
         seed=args.seed,
+        stream_data=True if args.stream_data else None,
     )
     if not args.augment:
         trainer.ada = None

@@ -1,0 +1,110 @@
+"""End-to-end CelebA attribute tooling chain on a tiny fabricated dataset.
+
+Drives the actual CLI scripts via subprocess (CPU backend):
+  train_mimicry_phase1 (short, logit window) -> disc_score_celeba_with_attr
+  -> train_convnet_celeba -> count_attr_celeba -> eval_gan_celeba_with_attr.
+Reference chain: train_convnet_celeba.py / count_attr_celeba.py /
+disc_score_celeba_with_attr.py / eval_gan_celeba_with_attr.py.
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _run(args, cwd, timeout=900):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(ROOT)  # drop the axon TPU site hook
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    return out
+
+
+@pytest.fixture(scope="module")
+def celeba_root(tmp_path_factory):
+    """Tiny celeba_64.npy cache + attr file (96 images, 40 attrs)."""
+    from diagan_tpu.data.sources import CELEBA_ATTR_NAMES, synthetic_celeba_attrs
+
+    root = tmp_path_factory.mktemp("celeba")
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (96, 64, 64, 3), dtype=np.uint8)
+    np.save(root / "celeba_64.npy", images)
+    attrs = synthetic_celeba_attrs(images, seed=0)
+    lines = ["96", " ".join(CELEBA_ATTR_NAMES)]
+    for i in range(96):
+        lines.append(
+            f"{i:06d}.jpg " + " ".join(str(int(a)) for a in attrs[i])
+        )
+    (root / "list_attr_celeba.txt").write_text("\n".join(lines) + "\n")
+    return root
+
+
+@pytest.mark.slow
+def test_attr_tooling_chain(celeba_root, tmp_path):
+    work = tmp_path / "exp"
+    exp = "celeba_tiny"
+    # phase 1: 4 steps with the logit window live (records 2 snapshots)
+    _run(
+        ["train_mimicry_phase1.py", "--dataset", "celeba", "--root",
+         str(celeba_root), "--exp_name", exp, "--model", "sngan",
+         "--loss_type", "hinge", "--num_steps", "4", "--n_dis", "1",
+         "--batch_size", "8", "--save_logit_after", "2",
+         "--stop_save_logit_after", "4", "--logit_save_steps", "1",
+         "--no_schedule_override", "--work_dir", str(work)],
+        cwd=ROOT,
+    )
+    exp_dir = work / exp
+    assert (exp_dir / "logits_netD_eval.pkl").is_file()
+
+    # mean resample-weight of attr vs not-attr examples
+    out = _run(
+        ["disc_score_celeba_with_attr.py", "--root", str(celeba_root),
+         "--work_dir", str(work), "--exp_name", exp, "--p1_step", "4",
+         "--resample_score", "ldr_conf_5.0_ratio_50"],
+        cwd=ROOT,
+    )
+    assert "attr weights mean" in out.stdout
+
+    # attribute classifier (tiny epochs)
+    _run(
+        ["train_convnet_celeba.py", "--root", str(celeba_root),
+         "--work_dir", str(work), "--num_epochs", "1", "--batch_size", "16",
+         "--attr", "Male"],
+        cwd=ROOT,
+    )
+    assert (work / "attr_classifier" / "Male.pth").is_file()
+
+    # attribute frequency among generated samples
+    _run(
+        ["count_attr_celeba.py", "--work_dir", str(work), "--exp_name", exp,
+         "--model", "sngan", "--loss_type", "hinge", "--netG_ckpt_step", "4",
+         "--attr", "Male", "--num_samples", "32", "--batch_size", "16"],
+        cwd=ROOT,
+    )
+    res = json.loads((exp_dir / "count_attr_Male.json").read_text())
+    assert res["total"] == 32 and 0.0 <= res["fraction"] <= 1.0
+
+    # attribute-sliced partial recall
+    _run(
+        ["eval_gan_celeba_with_attr.py", "--root", str(celeba_root),
+         "--work_dir", str(work), "--exp_name", exp, "--model", "sngan",
+         "--loss_type", "hinge", "--netG_ckpt_step", "4", "--attr", "Male",
+         "--batch_size", "16", "--num_real_samples", "48",
+         "--num_fake_samples", "32"],
+        cwd=ROOT, timeout=1200,
+    )
+    pr = json.loads(
+        (exp_dir / "evaluate" / "step-4" / "partial_recall_Male.json")
+        .read_text()
+    )
+    assert "attr" in pr and "not_attr" in pr

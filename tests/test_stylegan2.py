@@ -173,3 +173,46 @@ def test_trainer_logit_sweep_scatter(tmp_path):
     ])[:23]
     np.testing.assert_allclose(out, want.astype(np.float64), rtol=2e-4,
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_stream_data_mode_trains_and_sweep_matches(tmp_path):
+    """Host-streaming data mode (native sampler + threaded gather feeding
+    per-chunk uint8 stacks): the trainer runs with R1 firing inside the
+    chunk, and the slab logit sweep is bit-equal to the HBM sweep for the
+    same params."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(2).integers(0, 255, (40, 16, 16, 3),
+                                             np.uint8)
+    weights = np.linspace(0.5, 2.0, 40)
+
+    def build(stream, out):
+        gen = StyleGAN2Generator(size=16)
+        disc = StyleGAN2Discriminator(size=16)
+        drs = StyleGAN2Discriminator(size=16)
+        return StyleGAN2Trainer(
+            out, gen, disc, imgs, num_steps=4, drs_disc=drs,
+            sample_weights=weights, batch_size=4, log_every=2,
+            d_reg_every=2, g_reg_every=3, save_every=10000, seed=0,
+            stream_data=stream,
+        )
+
+    tr_hbm = build(False, tmp_path / "hbm")
+    tr_str = build(True, tmp_path / "stream")
+    assert tr_str.stream and not tr_hbm.stream
+
+    # identical init (same seed) -> slab sweep must match device sweep
+    tr_hbm._record_logits(step=0, batch=8)
+    tr_str._record_logits(step=0, batch=8)
+    np.testing.assert_allclose(
+        tr_hbm.logit_results["netD_drs_eval"][0],
+        tr_str.logit_results["netD_drs_eval"][0], atol=1e-5,
+    )
+
+    tr_str.train()
+    assert int(tr_str.g_state.step) == 4
+    for leaf in jax.tree.leaves(tr_str.g_state.params):
+        assert bool(jnp.isfinite(leaf).all())
+    for leaf in jax.tree.leaves(tr_str.d_state.params):
+        assert bool(jnp.isfinite(leaf).all())
