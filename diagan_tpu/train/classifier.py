@@ -136,7 +136,11 @@ def predict_classifier(model, params, state, images, batch_size=256,
         k = len(slab)
         pad = (-k) % batch_size
         if pad:
-            slab = np.concatenate([slab, np.zeros_like(slab[:pad])])
+            # NB: np.zeros_like(slab[:pad]) would silently truncate when
+            # pad > k (slab smaller than one batch)
+            slab = np.concatenate(
+                [slab, np.zeros((pad,) + slab.shape[1:], slab.dtype)]
+            )
         slab = jnp.asarray(slab).reshape((-1, batch_size) + slab.shape[1:])
         logits = fwd_scan(slab)
         out.append(np.asarray(logits).reshape(-1, logits.shape[-1])[:k])

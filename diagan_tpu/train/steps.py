@@ -61,6 +61,8 @@ class StepConfig(NamedTuple):
     # update semantics — an algorithmic deviation from the reference's
     # sequential D-then-G, so opt-in). Saves one G forward and one D
     # forward per step; XLA CSE merges the duplicated fake-branch forward.
+    # Measured on TPU v5e (SNGAN-32 CIFAR-10, n_dis 5, batch 64):
+    # 50.4 -> 55.0 steps/s (+9.1%). CLI: --simultaneous_g.
     simultaneous_g: bool = False
 
 

@@ -18,7 +18,7 @@ import pytest
 ROOT = Path(__file__).resolve().parents[1]
 
 
-def _run(args, cwd, timeout=900):
+def _run(args, cwd, timeout=1800):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(ROOT)  # drop the axon TPU site hook
     env.pop("JAX_PLATFORMS", None)
@@ -50,6 +50,7 @@ def celeba_root(tmp_path_factory):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow  # SNGAN-64 XLA-CPU compile alone is ~15 min on 1 CPU
 def test_attr_tooling_chain(celeba_root, tmp_path):
     work = tmp_path / "exp"
     exp = "celeba_tiny"

@@ -177,3 +177,28 @@ def test_classifier_train_and_predict_learns_color():
     logits = predict_classifier(model, params, state, images, batch_size=32)
     acc = (logits.argmax(-1) == labels).mean()
     assert acc > 0.9
+
+
+def test_classifier_predict_smaller_than_batch():
+    """Regression: predict on n < batch_size used to truncate the pad
+    (np.zeros_like(slab[:pad]) caps at len(slab)) and crash the reshape."""
+    import numpy as np
+
+    from diagan_tpu.models.convnets import Simple3DNet
+    from diagan_tpu.train.classifier import predict_classifier
+
+    import jax
+
+    model = Simple3DNet(num_labels=2)
+    x0 = np.zeros((4, 8, 8, 3), np.uint8)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((2, 8, 8, 3)), train=False,
+    )
+    params = variables.pop("params")
+    images = np.random.default_rng(1).integers(0, 255, (18, 8, 8, 3), np.uint8)
+    logits = predict_classifier(model, params, variables, images,
+                                batch_size=256)
+    assert logits.shape == (18, 2)
