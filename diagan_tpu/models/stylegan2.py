@@ -249,12 +249,23 @@ class SynthesisNetwork(nn.Module):
     channel_multiplier: int = 2
     blur_kernel: tuple = (1, 3, 3, 1)
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-layer nn.remat: O(layer) activation memory
 
     @nn.compact
     def __call__(self, styles_per_layer, noises=None):
         """styles_per_layer: (N, n_latent, style_dim) — one w per layer
         (already broadcast/mixed by the Generator). Runs in self.dtype
-        (bf16 supported); the RGB output is returned fp32."""
+        (bf16 supported); the RGB output is returned fp32.
+
+        remat wraps each StyledConv/ToRGB in nn.remat: the backward pass
+        recomputes the layer's internals (modulated conv, upfirdn blur,
+        noise, activation) instead of keeping them resident, so only the
+        per-resolution boundary activations stay live. Explicit module
+        names keep the param tree IDENTICAL to the plain model (lifted
+        transforms rename auto-named modules, which would both re-seed
+        init and break checkpoint compatibility)."""
+        SC = nn.remat(StyledConv) if self.remat else StyledConv
+        TR = nn.remat(ToRGB) if self.remat else ToRGB
         ch = _channels(self.size, self.channel_multiplier)
         log_size = int(math.log2(self.size))
         num_layers = (log_size - 2) * 2 + 1
@@ -265,29 +276,29 @@ class SynthesisNetwork(nn.Module):
         x = jnp.tile(const.astype(self.dtype), (n, 1, 1, 1))
 
         li = 0
-        x = StyledConv(ch[4], blur_kernel=self.blur_kernel,
-                       dtype=self.dtype, name="conv1")(
+        x = SC(ch[4], blur_kernel=self.blur_kernel,
+               dtype=self.dtype, name="conv1")(
             x, styles_per_layer[:, li],
             None if noises is None else noises[0],
         )
-        skip = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb1")(
+        skip = TR(upsample=False, dtype=self.dtype, name="to_rgb1")(
             x, styles_per_layer[:, li + 1])
         li += 1
 
         res = 8
         ni = 1
         while res <= self.size:
-            x = StyledConv(
+            x = SC(
                 ch[res], upsample=True, blur_kernel=self.blur_kernel,
                 dtype=self.dtype, name=f"conv_up_{res}",
             )(x, styles_per_layer[:, li],
               None if noises is None else noises[ni])
-            x = StyledConv(
+            x = SC(
                 ch[res], blur_kernel=self.blur_kernel, dtype=self.dtype,
                 name=f"conv_{res}",
             )(x, styles_per_layer[:, li + 1],
               None if noises is None else noises[ni + 1])
-            skip = ToRGB(dtype=self.dtype, name=f"to_rgb_{res}")(
+            skip = TR(dtype=self.dtype, name=f"to_rgb_{res}")(
                 x, styles_per_layer[:, li + 2], skip)
             li += 2
             ni += 2
@@ -307,12 +318,13 @@ class StyleGAN2Generator(nn.Module):
     n_mlp: int = 8
     channel_multiplier: int = 2
     dtype: jnp.dtype = jnp.float32  # synthesis compute dtype (mapping fp32)
+    remat: bool = False  # rematerialize synthesis layers (see SynthesisNetwork)
 
     def setup(self):
         self.mapping = MappingNetwork(self.style_dim, self.n_mlp)
         self.synthesis = SynthesisNetwork(
             self.size, self.style_dim, self.channel_multiplier,
-            dtype=self.dtype,
+            dtype=self.dtype, remat=self.remat,
         )
         log_size = int(math.log2(self.size))
         self.n_latent = log_size * 2 - 2
@@ -389,14 +401,17 @@ class StyleGAN2Discriminator(nn.Module):
     channel_multiplier: int = 2
     stddev_group: int = 4
     dtype: jnp.dtype = jnp.float32  # backbone compute dtype (head fp32)
+    remat: bool = False  # per-ResBlock nn.remat (names pinned to the
+    # plain model's auto names so the param tree/checkpoints are identical)
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
+        RB = nn.remat(DResBlock) if self.remat else DResBlock
         ch = _channels(self.size, self.channel_multiplier)
         log_size = int(math.log2(self.size))
         h = ConvLayer(ch[self.size], 1, dtype=self.dtype)(x)
-        for res in [2**i for i in range(log_size, 2, -1)]:
-            h = DResBlock(ch[res // 2], dtype=self.dtype)(h)
+        for i, res in enumerate([2**j for j in range(log_size, 2, -1)]):
+            h = RB(ch[res // 2], dtype=self.dtype, name=f"DResBlock_{i}")(h)
         # minibatch stddev (group 4), statistics in fp32
         n, hh, ww, c = h.shape
         g = min(self.stddev_group, n)

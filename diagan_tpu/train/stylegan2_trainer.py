@@ -82,6 +82,12 @@ class StyleGAN2Trainer:
         stream_data=None,
         hbm_data_budget=6 << 30,
     ):
+        # For activation rematerialization construct the models with
+        # remat=True (StyleGAN2Generator/Discriminator) — per-layer
+        # nn.remat is the memory lever; wrapping the whole apply in
+        # jax.checkpoint does NOT reduce peak (the backward recomputes
+        # the full forward and keeps every residual live; measured: same
+        # compile-time OOM at 256px batch 64).
         # stream_data: None = auto (stream when the uint8 dataset exceeds
         # hbm_data_budget bytes), True/False = force. In streaming mode the
         # dataset stays host-resident (np.memmap-friendly); each scanned

@@ -59,6 +59,10 @@ def build_parser():
     # additive: force host-streamed data (auto-enabled when the dataset
     # exceeds the HBM budget; see StyleGAN2Trainer stream_data)
     parser.add_argument("--stream_data", action="store_true")
+    # additive: rematerialize G/D activations (per-layer nn.remat) — one
+    # extra forward per backward for O(layer) activation memory; use for
+    # large batch or >512px sizes that otherwise exceed HBM
+    parser.add_argument("--remat", action="store_true")
     return parser
 
 
@@ -70,16 +74,17 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
 
     images = load_ffhq(args.root, size=args.size)
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    remat = getattr(args, "remat", False)
     gen = StyleGAN2Generator(size=args.size,
                              channel_multiplier=args.channel_multiplier,
-                             dtype=dtype)
+                             dtype=dtype, remat=remat)
     disc = StyleGAN2Discriminator(size=args.size,
                                   channel_multiplier=args.channel_multiplier,
-                                  dtype=dtype)
+                                  dtype=dtype, remat=remat)
     drs_disc = (
         StyleGAN2Discriminator(size=args.size,
                                channel_multiplier=args.channel_multiplier,
-                               dtype=dtype)
+                               dtype=dtype, remat=remat)
         if drs else None
     )
     trainer = StyleGAN2Trainer(

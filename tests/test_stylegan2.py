@@ -216,3 +216,71 @@ def test_stream_data_mode_trains_and_sweep_matches(tmp_path):
         assert bool(jnp.isfinite(leaf).all())
     for leaf in jax.tree.leaves(tr_str.d_state.params):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_remat_param_tree_and_gradient_parity():
+    """remat=True (per-layer nn.remat, explicitly-named wrapped modules)
+    must leave (1) the param tree byte-identical — same paths, same init
+    values — and (2) first- AND second-order (R1-style) D gradients and
+    G outputs numerically unchanged."""
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    d_plain = StyleGAN2Discriminator(size=16)
+    d_remat = StyleGAN2Discriminator(size=16, remat=True)
+    p0 = d_plain.init({"params": jax.random.key(1)}, x)["params"]
+    p1 = d_remat.init({"params": jax.random.key(1)}, x)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def apply(d, p, x):
+        out = d.apply({"params": p}, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    def loss(d, p, x):
+        return jnp.mean(jax.nn.softplus(-apply(d, p, x)))
+
+    def r1(d, p, x):
+        g = jax.grad(lambda xx: jnp.sum(apply(d, p, xx)))(x)
+        return jnp.sum(g**2)
+
+    g0 = jax.grad(loss, argnums=1)(d_plain, p0, x)
+    g1 = jax.grad(loss, argnums=1)(d_remat, p0, x)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    r0 = jax.grad(r1, argnums=1)(d_plain, p0, x)
+    r1g = jax.grad(r1, argnums=1)(d_remat, p0, x)
+    for a, b in zip(jax.tree.leaves(r0), jax.tree.leaves(r1g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    g_plain = StyleGAN2Generator(size=16)
+    g_remat = StyleGAN2Generator(size=16, remat=True)
+    z = jax.random.normal(jax.random.key(2), (2, 512))
+    gv0 = g_plain.init({"params": jax.random.key(3), "noise": jax.random.key(4)}, z)
+    gv1 = g_remat.init({"params": jax.random.key(3), "noise": jax.random.key(4)}, z)
+    assert jax.tree_util.tree_structure(gv0) == jax.tree_util.tree_structure(gv1)
+    y0 = g_plain.apply(gv0, z, rngs={"noise": jax.random.key(5)})
+    y1 = g_remat.apply(gv0, z, rngs={"noise": jax.random.key(5)})
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_remat_trainer_smoke(tmp_path):
+    """Full trainer on remat=True models: 2 steps (incl. the step-0 R1
+    and path-reg grad-of-grad branches through nn.remat) stay finite."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3), np.uint8)
+    tr = StyleGAN2Trainer(
+        tmp_path, StyleGAN2Generator(size=16, remat=True),
+        StyleGAN2Discriminator(size=16, remat=True),
+        imgs, num_steps=2, batch_size=2, log_every=1, save_every=10000,
+        seed=3,
+    )
+    tr.train()
+    for leaf in jax.tree.leaves(tr.g_state.params) + jax.tree.leaves(
+        tr.d_state.params
+    ):
+        assert bool(jnp.isfinite(leaf).all())
