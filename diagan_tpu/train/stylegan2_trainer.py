@@ -81,7 +81,15 @@ class StyleGAN2Trainer:
         axis_name="data",
         stream_data=None,
         hbm_data_budget=6 << 30,
+        fuse_steps=True,
     ):
+        # fuse_steps=False: dispatch D / DRS-D / R1 / G / path-reg as
+        # SEPARATE jitted programs per step instead of one scanned chunk.
+        # Costs ~0.8s/dispatch x 3-5 programs on this platform, so it only
+        # makes sense where the step itself is >~1s — exactly the large
+        # configs (256px batch>=64, 1024px batch>=8) whose fused scan
+        # program the remote compile service rejects (VALIDATION.md).
+        # Single-chip HBM-data mode only.
         # For activation rematerialization construct the models with
         # remat=True (StyleGAN2Generator/Discriminator) — per-layer
         # nn.remat is the memory lever; wrapping the whole apply in
@@ -104,6 +112,9 @@ class StyleGAN2Trainer:
         # per-device (matching the reference's --batch per-GPU semantics).
         self.mesh = mesh
         self.axis_name = axis_name if mesh is not None else None
+        self.fuse = bool(fuse_steps)
+        if not self.fuse and mesh is not None:
+            raise NotImplementedError("fuse_steps=False requires mesh=None")
         self.output_path = Path(output_path)
         self.output_path.mkdir(parents=True, exist_ok=True)
         self.gen = gen
@@ -131,6 +142,10 @@ class StyleGAN2Trainer:
         if stream_data is None:
             stream_data = dataset_images.nbytes > hbm_data_budget
         self.stream = bool(stream_data)
+        if self.stream and not self.fuse:
+            raise NotImplementedError(
+                "fuse_steps=False requires the HBM-resident data mode"
+            )
         if self.stream:
             if mesh is not None:
                 raise NotImplementedError(
@@ -506,6 +521,69 @@ class StyleGAN2Trainer:
                 {"path": pen, "path_length": jnp.mean(lengths)},
             )
 
+        self._uf = None
+        if not self.fuse:
+            # separate per-piece programs (compile-service-friendly); the
+            # RNG stream (fold_in per step, 5-way split, kd/kdd/kg/kr1/kpl)
+            # matches the fused chunk exactly
+            self._uf = {
+                "d": jax.jit(d_plain),
+                "drs": jax.jit(drs_plain) if drs_plain is not None else None,
+                "d_r1": jax.jit(d_r1_raw),
+                "drs_r1": (
+                    jax.jit(drs_r1_raw) if drs_r1_raw is not None else None
+                ),
+                "g": jax.jit(g_step),
+                "path": jax.jit(g_path_reg),
+            }
+
+    def _run_unfused(self, key, start_step, n):
+        """n steps as separate dispatches; returns the same stacked-metrics
+        dict shape the fused chunk produces."""
+        out = {k: [] for k in ("d", "real_score", "fake_score", "sign_real",
+                               "g", "r1", "path")}
+        for i in range(n):
+            gstep = start_step + i
+            k = jax.random.fold_in(key, i)
+            kd, kdd, kg, kr1, kpl = jax.random.split(k, 5)
+            self.d_state, dm = self._uf["d"](
+                self.d_state, self.g_state.params, kd, self.ada_aug_p,
+                self.images,
+            )
+            if self._uf["drs"] is not None:
+                self.d_drs_state, _ = self._uf["drs"](
+                    self.d_drs_state, self.g_state.params, kdd,
+                    self.ada_aug_p, self.images,
+                )
+            if gstep % self.d_reg_every == 0:
+                self.d_state, rm = self._uf["d_r1"](
+                    self.d_state, kr1, self.ada_aug_p, self.images,
+                )
+                if self._uf["drs_r1"] is not None:
+                    self.d_drs_state, _ = self._uf["drs_r1"](
+                        self.d_drs_state, kr1, self.ada_aug_p, self.images,
+                    )
+                r1v = rm["r1"]
+            else:
+                r1v = 0.0
+            self.g_state, self.g_ema, gm = self._uf["g"](
+                self.g_state, self.g_ema, self.d_state.params, kg,
+            )
+            if gstep % self.g_reg_every == 0:
+                self.g_state, self.g_ema, self.pl_mean, pm = self._uf["path"](
+                    self.g_state, self.g_ema, kpl, self.pl_mean,
+                )
+                pathv = pm["path"]
+            else:
+                pathv = 0.0
+            for name, v in (("d", dm["d"]), ("real_score", dm["real_score"]),
+                            ("fake_score", dm["fake_score"]),
+                            ("sign_real", dm["sign_real"]), ("g", gm["g"]),
+                            ("r1", r1v), ("path", pathv)):
+                out[name].append(v)
+        return {k: np.asarray([np.asarray(x) for x in v])
+                for k, v in out.items()}
+
 
 
     # ------------------------------------------------------------------
@@ -720,6 +798,20 @@ class StyleGAN2Trainer:
         while step < self.num_steps:
             self.key, kc = jax.random.split(self.key)
             n = self._next_boundary(step) - step
+            if not self.fuse:
+                ms = self._run_unfused(kc, step, n)
+                step += n
+                signs = np.asarray(ms["sign_real"])
+                if self.ada is not None:
+                    for v in signs:
+                        self.ada_aug_p = self.ada.tune(float(v),
+                                                       self.batch_size)
+                metrics = {
+                    k: float(np.asarray(v)[-1]) for k, v in ms.items()
+                    if k != "sign_real"
+                }
+                self._after_chunk(step, metrics)
+                continue
             if n not in self._plain_chunks:
                 self._plain_chunks[n] = (
                     self._make_stream_chunk(n) if self.stream
@@ -749,19 +841,21 @@ class StyleGAN2Trainer:
                 if k != "sign_real"
             }
             step += n
-
-            if step % self.log_every == 0:
-                parts = "; ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
-                print(f"step {step}: {parts}; ada_p: {self.ada_aug_p:.4f}",
-                      flush=True)
-            if (
-                self.logit_save_steps
-                and step % self.logit_save_steps == 0
-                and self.save_logit_after <= step <= self.stop_save_logit_after
-                and step < self.num_steps
-            ):
-                self._record_logits(step)
-            if step % self.save_every == 0 and step < self.num_steps:
-                self._save_ckpt(step)
+            self._after_chunk(step, metrics)
         self._save_ckpt(self.num_steps)
         return self
+
+    def _after_chunk(self, step, metrics):
+        if step % self.log_every == 0:
+            parts = "; ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+            print(f"step {step}: {parts}; ada_p: {self.ada_aug_p:.4f}",
+                  flush=True)
+        if (
+            self.logit_save_steps
+            and step % self.logit_save_steps == 0
+            and self.save_logit_after <= step <= self.stop_save_logit_after
+            and step < self.num_steps
+        ):
+            self._record_logits(step)
+        if step % self.save_every == 0 and step < self.num_steps:
+            self._save_ckpt(step)

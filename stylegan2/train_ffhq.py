@@ -63,6 +63,10 @@ def build_parser():
     # extra forward per backward for O(layer) activation memory; use for
     # large batch or >512px sizes that otherwise exceed HBM
     parser.add_argument("--remat", action="store_true")
+    # additive: dispatch D/R1/G/path as separate programs instead of one
+    # fused scan — for very large configs (256px batch>=64, 1024px
+    # batch>=8) whose fused program the compile service rejects
+    parser.add_argument("--no_fuse", action="store_true")
     return parser
 
 
@@ -108,6 +112,7 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         stop_save_logit_after=args.stop_save_logit_after,
         seed=args.seed,
         stream_data=True if args.stream_data else None,
+        fuse_steps=not getattr(args, "no_fuse", False),
     )
     if not args.augment:
         trainer.ada = None
