@@ -25,6 +25,7 @@ fused into each step.
 from __future__ import annotations
 
 import math
+import signal
 from pathlib import Path
 
 import jax
@@ -793,14 +794,40 @@ class StyleGAN2Trainer:
     def train(self, start_step=0):
         """Host loop: everything between logging/checkpoint boundaries —
         plain updates AND the lazy regularizers at their exact reference
-        cadence/order — runs as one scanned dispatch."""
+        cadence/order — runs as one scanned dispatch.
+
+        SIGTERM (TPU preemption) and KeyboardInterrupt both stop at the
+        next chunk boundary and flush a resumable checkpoint; the
+        reference's stylegan2 loop has no such handling (train.py keeps
+        no interrupt path), so this is a TPU-native hardening addition
+        matching LogTrainer's (trainer.py here; reference
+        trainer.py:353-357 only catches KeyboardInterrupt)."""
         step = start_step
-        while step < self.num_steps:
+        interrupted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            interrupted["flag"] = True
+
+        old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        try:
+            self._train_loop(step, interrupted)
+        except KeyboardInterrupt:
+            print("INFO: Saving checkpoints from keyboard interrupt...",
+                  flush=True)
+            self._save_ckpt(self._loop_step)
+        finally:
+            signal.signal(signal.SIGTERM, old_handler)
+        return self
+
+    def _train_loop(self, step, interrupted):
+        self._loop_step = step
+        while step < self.num_steps and not interrupted["flag"]:
             self.key, kc = jax.random.split(self.key)
             n = self._next_boundary(step) - step
             if not self.fuse:
                 ms = self._run_unfused(kc, step, n)
                 step += n
+                self._loop_step = step
                 signs = np.asarray(ms["sign_real"])
                 if self.ada is not None:
                     for v in signs:
@@ -841,9 +868,14 @@ class StyleGAN2Trainer:
                 if k != "sign_real"
             }
             step += n
+            self._loop_step = step
             self._after_chunk(step, metrics)
-        self._save_ckpt(self.num_steps)
-        return self
+        if interrupted["flag"] and step < self.num_steps:
+            print(f"INFO: SIGTERM — flushing checkpoint at step {step}",
+                  flush=True)
+            self._save_ckpt(step)
+        else:
+            self._save_ckpt(self.num_steps)
 
     def _after_chunk(self, step, metrics):
         if step % self.log_every == 0:

@@ -9,6 +9,8 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 SCRIPT = r"""
@@ -85,3 +87,84 @@ def test_sigterm_saves_and_is_resumable(tmp_path):
     assert tr.global_step == step
     tr.train()
     assert tr.global_step == step + 1
+
+
+SG2_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pathlib import Path
+import numpy as np
+from diagan_tpu.models.stylegan2 import (
+    StyleGAN2Discriminator, StyleGAN2Generator,
+)
+from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3), np.uint8)
+tr = StyleGAN2Trainer(
+    Path({out!r}), StyleGAN2Generator(size=16),
+    StyleGAN2Discriminator(size=16), imgs, num_steps=10**6, batch_size=2,
+    log_every=1, save_every=10**6, seed=0,
+)
+print("READY", flush=True)
+tr.train()
+print("DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_stylegan2_sigterm_saves_and_is_resumable(tmp_path):
+    """SIGTERM mid-run: the StyleGAN2 trainer finishes the in-flight
+    chunk, flushes a checkpoint at the interrupted step, and exits
+    cleanly; the checkpoint then restores into a fresh trainer.
+    1-step chunks (log_every=1) because a single XLA-CPU step of the
+    batch-grouped modulated-conv synthesis net runs ~20s here."""
+    out = tmp_path / "sg2"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         SG2_SCRIPT.format(repo=str(REPO), out=str(out))],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        started = False
+        for line in proc.stdout:
+            if "READY" in line:
+                started = True
+                time.sleep(3)  # handler installs at train() entry
+                proc.send_signal(signal.SIGTERM)
+                break
+        assert started, "trainer never started"
+        rest = proc.communicate(timeout=580)[0]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, rest
+    assert "SIGTERM" in rest, rest
+    ckpts = sorted((out / "checkpoint").glob("*.pt"))
+    assert ckpts, rest
+    step = int(ckpts[-1].stem)
+    assert 0 < step < 10**6
+
+    # the flushed checkpoint restores into a fresh trainer at that step
+    sys.path.insert(0, str(REPO))
+    import jax
+    import numpy as np
+    from diagan_tpu.models.stylegan2 import (
+        StyleGAN2Discriminator, StyleGAN2Generator,
+    )
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3),
+                                             np.uint8)
+    tr = StyleGAN2Trainer(
+        out / "resumed", StyleGAN2Generator(size=16),
+        StyleGAN2Discriminator(size=16), imgs, num_steps=step + 1,
+        batch_size=2, log_every=1, save_every=10**6, seed=0,
+    )
+    assert tr.load_ckpt(ckpts[-1]) == step
+    for leaf in jax.tree.leaves(tr.g_state.params) + jax.tree.leaves(
+        tr.d_state.params
+    ):
+        assert bool(np.isfinite(np.asarray(leaf)).all())
