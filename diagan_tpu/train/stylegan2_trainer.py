@@ -90,7 +90,7 @@ class StyleGAN2Trainer:
         # makes sense where the step itself is >~1s — exactly the large
         # configs (256px batch>=64, 1024px batch>=8) whose fused scan
         # program the remote compile service rejects (VALIDATION.md).
-        # Single-chip HBM-data mode only.
+        # Composes with stream_data (per-step host batches). Single-chip.
         # For activation rematerialization construct the models with
         # remat=True (StyleGAN2Generator/Discriminator) — per-layer
         # nn.remat is the memory lever; wrapping the whole apply in
@@ -143,10 +143,6 @@ class StyleGAN2Trainer:
         if stream_data is None:
             stream_data = dataset_images.nbytes > hbm_data_budget
         self.stream = bool(stream_data)
-        if self.stream and not self.fuse:
-            raise NotImplementedError(
-                "fuse_steps=False requires the HBM-resident data mode"
-            )
         if self.stream:
             if mesh is not None:
                 raise NotImplementedError(
@@ -526,43 +522,68 @@ class StyleGAN2Trainer:
         if not self.fuse:
             # separate per-piece programs (compile-service-friendly); the
             # RNG stream (fold_in per step, 5-way split, kd/kdd/kg/kr1/kpl)
-            # matches the fused chunk exactly
+            # matches the fused chunk exactly. State args are donated —
+            # without aliasing, each piece holds a second params+optimizer
+            # copy, which alone overflowed HBM at 256px batch 64 (by 90MB)
             self._uf = {
-                "d": jax.jit(d_plain),
-                "drs": jax.jit(drs_plain) if drs_plain is not None else None,
-                "d_r1": jax.jit(d_r1_raw),
-                "drs_r1": (
-                    jax.jit(drs_r1_raw) if drs_r1_raw is not None else None
+                "d": jax.jit(d_plain, donate_argnums=0),
+                "drs": (
+                    jax.jit(drs_plain, donate_argnums=0)
+                    if drs_plain is not None else None
                 ),
-                "g": jax.jit(g_step),
-                "path": jax.jit(g_path_reg),
+                "d_r1": jax.jit(d_r1_raw, donate_argnums=0),
+                "drs_r1": (
+                    jax.jit(drs_r1_raw, donate_argnums=0)
+                    if drs_r1_raw is not None else None
+                ),
+                "g": jax.jit(g_step, donate_argnums=(0, 1)),
+                "path": jax.jit(g_path_reg, donate_argnums=(0, 1)),
             }
+
+    def _host_batch(self, weighted):
+        """One (bs,)-batch of uint8 reals gathered on host (stream mode)."""
+        if weighted and self._w_sampler is not None:
+            idx = self._w_sampler.sample(self.batch_size)
+        else:
+            idx = self._u_rng.integers(0, self.num_data, self.batch_size)
+        return jnp.asarray(self._gather(self.images_np, idx))
 
     def _run_unfused(self, key, start_step, n):
         """n steps as separate dispatches; returns the same stacked-metrics
-        dict shape the fused chunk produces."""
+        dict shape the fused chunk produces. In stream mode each piece gets
+        a per-step host-gathered uint8 batch instead of the HBM dataset;
+        dispatches are async, so gathers overlap device compute."""
         out = {k: [] for k in ("d", "real_score", "fake_score", "sign_real",
                                "g", "r1", "path")}
+        images = None if self.stream else self.images
+
+        def real_kw(weighted):
+            if not self.stream:
+                return {}
+            return {"real_u8": self._host_batch(weighted)}
+
         for i in range(n):
             gstep = start_step + i
             k = jax.random.fold_in(key, i)
             kd, kdd, kg, kr1, kpl = jax.random.split(k, 5)
             self.d_state, dm = self._uf["d"](
                 self.d_state, self.g_state.params, kd, self.ada_aug_p,
-                self.images,
+                images, **real_kw(True),
             )
             if self._uf["drs"] is not None:
                 self.d_drs_state, _ = self._uf["drs"](
                     self.d_drs_state, self.g_state.params, kdd,
-                    self.ada_aug_p, self.images,
+                    self.ada_aug_p, images, **real_kw(False),
                 )
             if gstep % self.d_reg_every == 0:
                 self.d_state, rm = self._uf["d_r1"](
-                    self.d_state, kr1, self.ada_aug_p, self.images,
+                    self.d_state, kr1, self.ada_aug_p, images,
+                    **real_kw(True),
                 )
                 if self._uf["drs_r1"] is not None:
                     self.d_drs_state, _ = self._uf["drs_r1"](
-                        self.d_drs_state, kr1, self.ada_aug_p, self.images,
+                        self.d_drs_state, kr1, self.ada_aug_p, images,
+                        **real_kw(False),
                     )
                 r1v = rm["r1"]
             else:

@@ -328,3 +328,29 @@ def test_unfused_steps_match_fused(tmp_path):
         b2.d_state.params
     ):
         assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.slow
+def test_unfused_stream_smoke(tmp_path):
+    """fuse_steps=False composes with host-streamed data (the realistic
+    large-config path: full FFHQ at 1024px cannot live in HBM): per-step
+    host-gathered uint8 batches feed the per-piece programs, training
+    runs the full cadence, and params stay finite."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3),
+                                             np.uint8)
+    w = np.linspace(0.5, 2.0, 64)
+    tr = StyleGAN2Trainer(
+        tmp_path / "ufs",
+        StyleGAN2Generator(size=16), StyleGAN2Discriminator(size=16),
+        imgs, num_steps=3, batch_size=2, log_every=1, save_every=10000,
+        seed=3, fuse_steps=False, stream_data=True, sample_weights=w,
+        drs_disc=StyleGAN2Discriminator(size=16),
+    )
+    assert tr.stream and not tr.fuse
+    tr.train()
+    for leaf in jax.tree.leaves(tr.g_state.params) + jax.tree.leaves(
+        tr.d_state.params
+    ) + jax.tree.leaves(tr.d_drs_state.params):
+        assert bool(jnp.isfinite(leaf).all())
