@@ -113,6 +113,9 @@ class StyleGAN2Trainer:
         # per-device (matching the reference's --batch per-GPU semantics).
         self.mesh = mesh
         self.axis_name = axis_name if mesh is not None else None
+        self._mesh_n = (
+            int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        )
         self.fuse = bool(fuse_steps)
         if not self.fuse and mesh is not None:
             raise NotImplementedError("fuse_steps=False requires mesh=None")
@@ -144,11 +147,13 @@ class StyleGAN2Trainer:
             stream_data = dataset_images.nbytes > hbm_data_budget
         self.stream = bool(stream_data)
         if self.stream:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "stream_data with a device mesh is not wired yet; "
-                    "use per-host dataset shards + hbm mode, or mesh=None"
-                )
+            # Composes with a mesh: the host assembles GLOBAL
+            # (bs * n_devices) batch stacks and shard_map splits them over
+            # the data axis (see _jit data_args); weighted sampling stays
+            # a single global stream, so score resampling survives data
+            # parallelism exactly as in the HBM mode (the fix for the
+            # reference's DistributedSampler-drops-weights bug,
+            # train_ffhq_phase2.py:35-45).
             from diagan_tpu.native import io as nio
 
             self.images = None
@@ -213,14 +218,21 @@ class StyleGAN2Trainer:
             return jax.lax.psum(x, self.axis_name)
         return x
 
-    def _jit(self, fn, n_args):
+    def _jit(self, fn, n_args, data_args=()):
+        """jit (single device) or shard_map+jit (mesh). Args listed in
+        data_args are batch stacks [n, global_bs, ...] split over the data
+        axis on dim 1; everything else is replicated."""
         if self.mesh is None:
             return jax.jit(fn)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        in_specs = tuple(
+            P(None, self.axis_name) if i in data_args else P()
+            for i in range(n_args)
+        )
         return jax.jit(shard_map(
-            fn, mesh=self.mesh, in_specs=(P(),) * n_args,
+            fn, mesh=self.mesh, in_specs=in_specs,
             out_specs=P(), check_vma=False,
         ))
 
@@ -463,7 +475,7 @@ class StyleGAN2Trainer:
                     )
                 return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
 
-            return self._jit(chunk, 10)
+            return self._jit(chunk, 10, data_args=(8, 9))
 
         self._make_chunk = make_chunk
         self._make_stream_chunk = make_stream_chunk
@@ -615,8 +627,10 @@ class StyleGAN2Trainer:
         threaded native gather (mmap-friendly). Returns
         (step_xs {'d'[,'drs']}: [n, bs, ...] uint8,
          r1_xs same keys: [n//dre+1, bs, ...] uint8 — slot j = j-th R1
-         firing inside this chunk; unfired slots stay zero, never read)."""
-        bs = self.batch_size
+         firing inside this chunk; unfired slots stay zero, never read).
+        Under a mesh, bs here is the GLOBAL batch (per-device bs x devices);
+        shard_map splits dim 1 across the data axis."""
+        bs = self.batch_size * self._mesh_n
         dre = self.d_reg_every
         shape = self.images_np.shape[1:]
 
@@ -883,7 +897,11 @@ class StyleGAN2Trainer:
             signs = np.asarray(ms["sign_real"])
             if self.ada is not None:
                 for v in signs:
-                    self.ada_aug_p = self.ada.tune(float(v), self.batch_size)
+                    # sign_real is psum'd across the mesh, so the paired
+                    # count is the GLOBAL batch (reference all-reduces both,
+                    # non_leaking.py:20-43)
+                    self.ada_aug_p = self.ada.tune(
+                        float(v), self.batch_size * self._mesh_n)
             metrics = {
                 k: float(np.asarray(v)[-1]) for k, v in ms.items()
                 if k != "sign_real"

@@ -67,6 +67,15 @@ def build_parser():
     # fused scan — for very large configs (256px batch>=64, 1024px
     # batch>=8) whose fused program the compile service rejects
     parser.add_argument("--no_fuse", action="store_true")
+    # additive: data-parallel training over all visible devices
+    # (jax.sharding mesh; replaces the reference's torch.distributed.launch
+    # + DDP/NCCL path, train_ffhq.py:500-585). --batch stays PER-DEVICE,
+    # matching the reference's per-GPU --batch semantics. Composes with
+    # --stream_data (global host batches split over the data axis).
+    parser.add_argument("--data_parallel", action="store_true")
+    # additive: checkpoint cadence (the reference hardcodes 5000,
+    # train_ffhq.py:365); lower it on preemptible/flaky hardware
+    parser.add_argument("--save_every", type=int, default=5000)
     return parser
 
 
@@ -91,9 +100,16 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
                                dtype=dtype, remat=remat)
         if drs else None
     )
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from diagan_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     trainer = StyleGAN2Trainer(
         output_dir, gen, disc, images,
         num_steps=args.iter,
+        mesh=mesh,
+        save_every=getattr(args, "save_every", 5000),
         drs_disc=drs_disc,
         sample_weights=sample_weights,
         batch_size=args.batch,

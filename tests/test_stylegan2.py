@@ -354,3 +354,35 @@ def test_unfused_stream_smoke(tmp_path):
         tr.d_state.params
     ) + jax.tree.leaves(tr.d_drs_state.params):
         assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.slow
+def test_stream_data_parallel_mesh(tmp_path):
+    """stream_data composes with the data-parallel mesh: the host gathers
+    GLOBAL (bs x devices) uint8 stacks, shard_map splits them over the data
+    axis, and the single global weighted stream survives sharding (the
+    reference dropped sampler weights under DDP, train_ffhq_phase2.py:35-45).
+    States stay replicated and finite."""
+    from diagan_tpu.parallel import make_mesh
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    mesh = make_mesh(jax.devices()[:4])
+    imgs = np.random.default_rng(0).integers(0, 255, (64, 16, 16, 3),
+                                             np.uint8)
+    w = np.linspace(0.5, 2.0, 64)
+    tr = StyleGAN2Trainer(
+        tmp_path / "smesh",
+        StyleGAN2Generator(size=16), StyleGAN2Discriminator(size=16),
+        imgs, num_steps=2, batch_size=2, log_every=1, save_every=10000,
+        seed=5, stream_data=True, sample_weights=w, mesh=mesh,
+        drs_disc=StyleGAN2Discriminator(size=16),
+    )
+    assert tr.stream and tr.mesh is not None and tr._mesh_n == 4
+    xs, r1 = tr._host_stacks(0, 2)
+    assert xs["d"].shape == (2, 8, 16, 16, 3)  # global = 2 steps x (2x4)
+    tr.train()
+    assert int(tr.g_state.step) == 2
+    for leaf in jax.tree.leaves(tr.g_state.params) + jax.tree.leaves(
+        tr.d_state.params
+    ) + jax.tree.leaves(tr.d_drs_state.params):
+        assert bool(jnp.isfinite(leaf).all())
