@@ -76,6 +76,10 @@ def build_parser():
     # additive: checkpoint cadence (the reference hardcodes 5000,
     # train_ffhq.py:365); lower it on preemptible/flaky hardware
     parser.add_argument("--save_every", type=int, default=5000)
+    # additive: resume from the latest checkpoint in the experiment dir
+    # when --ckpt is not given (lossless restart after a TPU worker crash
+    # or preemption; pair with scripts/supervise.py for hands-off runs)
+    parser.add_argument("--auto_resume", action="store_true")
     return parser
 
 
@@ -140,6 +144,11 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
     if args.ckpt:
         start = trainer.load_ckpt(args.ckpt)
         print(f"resumed from {args.ckpt} at step {start}")
+    elif getattr(args, "auto_resume", False):
+        latest = trainer.find_latest_ckpt()
+        if latest is not None:
+            start = trainer.load_ckpt(latest)
+            print(f"auto-resumed from {latest} at step {start}")
     return trainer, start
 
 

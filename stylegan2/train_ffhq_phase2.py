@@ -46,7 +46,9 @@ def main():
     trainer, start = make_trainer(
         args, sample_weights=sample_weights, drs=True, r1=args.r1
     )
-    if not args.ckpt:
+    if not args.ckpt and start == 0:
+        # start != 0 means --auto_resume already picked up a mid-phase-2
+        # checkpoint from this experiment dir (crash/preemption restart)
         ckpt = baseline_dir / "checkpoint" / f"{args.p1_step:06d}.pt"
         start = trainer.load_ckpt(ckpt)
         print(f"loaded phase-1 checkpoint {ckpt} (step {start})")

@@ -168,3 +168,62 @@ def test_stylegan2_sigterm_saves_and_is_resumable(tmp_path):
         tr.d_state.params
     ):
         assert bool(np.isfinite(np.asarray(leaf)).all())
+
+
+def test_supervise_restarts_until_success():
+    """Elastic-recovery supervisor: restarts a crashing command with the
+    given retry budget, returns success as soon as the command does."""
+    sys.path.insert(0, str(REPO))
+    from scripts.supervise import supervise
+
+    codes = iter([1, 1, 0])
+    code, attempts = supervise(["x"], retries=5, backoff=0,
+                               _run=lambda: next(codes))
+    assert code == 0 and attempts == 3
+
+    codes = iter([1, 1, 1])
+    code, attempts = supervise(["x"], retries=2, backoff=0,
+                               _run=lambda: next(codes))
+    assert code == 1 and attempts == 3
+
+
+def test_ffhq_auto_resume_picks_latest(tmp_path):
+    """--auto_resume: make_trainer resumes from the newest {iter:06d}.pt in
+    the experiment dir when --ckpt is absent (process-level recovery after
+    a TPU worker crash)."""
+    sys.path.insert(0, str(REPO))
+    sys.path.insert(0, str(REPO / "stylegan2"))
+    import numpy as np
+    from diagan_tpu.models.stylegan2 import (
+        StyleGAN2Discriminator, StyleGAN2Generator,
+    )
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+    from train_ffhq import build_parser, make_trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (8, 16, 16, 3),
+                                             np.uint8)
+    seed_tr = StyleGAN2Trainer(
+        tmp_path / "exp", StyleGAN2Generator(size=16),
+        StyleGAN2Discriminator(size=16), imgs, num_steps=1, batch_size=2,
+        seed=0,
+    )
+    seed_tr._save_ckpt(3)
+    seed_tr._save_ckpt(7)
+
+    root = tmp_path / "data"
+    root.mkdir()
+    np.save(root / "ffhq_16.npy", imgs)
+    args = build_parser().parse_args(
+        ["--size", "16", "--iter", "8", "--batch", "2", "--auto_resume",
+         "--work_dir", str(tmp_path), "--exp_name", "exp",
+         "--root", str(root)]
+    )
+    trainer, start = make_trainer(args)
+    assert start == 7
+    args2 = build_parser().parse_args(
+        ["--size", "16", "--iter", "8", "--batch", "2",
+         "--work_dir", str(tmp_path), "--exp_name", "exp",
+         "--root", str(root)]
+    )
+    _, start2 = make_trainer(args2)
+    assert start2 == 0  # no flag -> no silent resume
