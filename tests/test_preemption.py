@@ -227,3 +227,26 @@ def test_ffhq_auto_resume_picks_latest(tmp_path):
     )
     _, start2 = make_trainer(args2)
     assert start2 == 0  # no flag -> no silent resume
+
+
+def test_supervise_stall_watchdog():
+    """The watchdog kills a child that stops producing output and the
+    supervisor restarts it (a hung TPU device call never returns, so
+    stdout silence is the stall signal)."""
+    sys.path.insert(0, str(REPO))
+    from scripts.supervise import STALL_EXIT, _run_with_watchdog, supervise
+
+    hang = [sys.executable, "-c",
+            "import time; print('up', flush=True); time.sleep(60)"]
+    t0 = time.time()
+    code = _run_with_watchdog(hang, stall_timeout=2)
+    assert code == STALL_EXIT and time.time() - t0 < 30
+
+    ok = [sys.executable, "-c", "print('done')"]
+    code = _run_with_watchdog(ok, stall_timeout=5)
+    assert code == 0
+
+    runs = iter([STALL_EXIT, 0])
+    code, attempts = supervise(["x"], retries=3, backoff=0,
+                               _run=lambda: next(runs))
+    assert code == 0 and attempts == 2
