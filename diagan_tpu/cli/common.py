@@ -33,6 +33,11 @@ def add_common_train_flags(parser: argparse.ArgumentParser):
     # iteration — measured +9.1% steps/s on SNGAN CIFAR-10 (TPU v5e);
     # G sees pre-update D params (see train/steps.py StepConfig)
     parser.add_argument("--simultaneous_g", action="store_true")
+    # additive: resume this experiment from its own newest checkpoints
+    # (lossless restart after a TPU worker crash/preemption; pair with
+    # scripts/supervise.py). Phase-2 scripts fall back to the baseline
+    # phase-1 checkpoints on a fresh start.
+    parser.add_argument("--auto_resume", action="store_true")
     return parser
 
 
@@ -68,3 +73,39 @@ def phase1_ckpt_paths(baseline_save_path, p1_step):
         base / f"checkpoints/netG/netG_{p1_step}_steps.pth",
         base / f"checkpoints/netD/netD_{p1_step}_steps.pth",
     )
+
+
+def latest_ckpt_step(save_path):
+    """Newest step with a netG checkpoint under save_path/checkpoints
+    (filename-parsed, the reference layout netG_{step}_steps.pth), or
+    None. The --auto_resume probe for crash/preemption restarts."""
+    d = Path(save_path) / "checkpoints" / "netG"
+    steps = []
+    if d.is_dir():
+        for f in d.glob("netG_*_steps.pth"):
+            try:
+                steps.append(int(f.stem.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+    return max(steps) if steps else None
+
+
+def resolve_phase2_resume(args, save_path, netG_ckpt, netD_ckpt,
+                          netD_drs_ckpt=None):
+    """--auto_resume for phase-2 scripts: if THIS experiment already has
+    checkpoints (a previous attempt crashed mid-run), restore all nets
+    from its newest step instead of the baseline phase-1 files; D_drs
+    comes from its own netD_drs checkpoint rather than the netD clone."""
+    if not getattr(args, "auto_resume", False):
+        return netG_ckpt, netD_ckpt, netD_drs_ckpt
+    own = latest_ckpt_step(save_path)
+    if own is None:
+        return netG_ckpt, netD_ckpt, netD_drs_ckpt
+    base = Path(save_path)
+    g, d = phase1_ckpt_paths(base, own)
+    drs = netD_drs_ckpt
+    if netD_drs_ckpt is not None:
+        own_drs = base / f"checkpoints/netD_drs/netD_drs_{own}_steps.pth"
+        drs = own_drs if own_drs.is_file() else d
+    print(f"auto-resumed from own checkpoints at step {own}")
+    return g, d, drs

@@ -14,7 +14,11 @@ from pathlib import Path
 
 import numpy as np
 
-from diagan_tpu.cli.common import add_common_train_flags, enable_compile_cache
+from diagan_tpu.cli.common import (
+    add_common_train_flags,
+    enable_compile_cache,
+    resolve_phase2_resume,
+)
 from diagan_tpu.data import get_predefined_dataset
 from diagan_tpu.models import get_gan_model
 from diagan_tpu.score import calculate_scores
@@ -88,6 +92,16 @@ def phase1(dataset, root, exp):
     )
     print(args)
 
+    netG_ckpt = netD_ckpt = None
+    if getattr(args, "auto_resume", False):
+        from diagan_tpu.cli.common import latest_ckpt_step
+
+        own = latest_ckpt_step(save_path)
+        if own:
+            netG_ckpt = str(save_path / f"checkpoints/netG/netG_{own}_steps.pth")
+            netD_ckpt = str(save_path / f"checkpoints/netD/netD_{own}_steps.pth")
+            print(f"auto-resuming from step {own}")
+
     trainer = LogTrainer(
         output_path=save_path,
         bundle=bundle,
@@ -96,6 +110,8 @@ def phase1(dataset, root, exp):
         n_dis=args.n_dis,
         lr_decay=_decay(args),
         batch_size=args.batch_size,
+        netG_ckpt_file=netG_ckpt,
+        netD_ckpt_file=netD_ckpt,
         log_dir=output_dir,
         print_steps=10,
         save_steps=1000,
@@ -140,6 +156,9 @@ def phase2(dataset, root, exp):
     )
     netG_ckpt = baseline_save_path / f"checkpoints/netG/netG_{args.p1_step}_steps.pth"
     netD_ckpt = baseline_save_path / f"checkpoints/netD/netD_{args.p1_step}_steps.pth"
+    netG_ckpt, netD_ckpt, netD_drs_ckpt = resolve_phase2_resume(
+        args, save_path, netG_ckpt, netD_ckpt, netD_ckpt
+    )
 
     logit_name = "netD_eval" if args.use_eval_logits == 1 else "netD_train"
     logit_path = baseline_save_path / f"logits_{logit_name}.pkl"
@@ -180,7 +199,7 @@ def phase2(dataset, root, exp):
         batch_size=args.batch_size,
         netG_ckpt_file=str(netG_ckpt),
         netD_ckpt_file=str(netD_ckpt),
-        netD_drs_ckpt_file=str(netD_ckpt),
+        netD_drs_ckpt_file=str(netD_drs_ckpt),
         log_dir=output_dir,
         print_steps=10,
         save_steps=1000,
@@ -238,6 +257,9 @@ def phase2_gold(dataset, root, exp):
     )
     netG_ckpt = baseline_save_path / f"checkpoints/netG/netG_{args.p1_step}_steps.pth"
     netD_ckpt = baseline_save_path / f"checkpoints/netD/netD_{args.p1_step}_steps.pth"
+    netG_ckpt, netD_ckpt, _ = resolve_phase2_resume(
+        args, save_path, netG_ckpt, netD_ckpt
+    )
     ds_train = get_predefined_dataset(
         dataset_name=args.dataset, root=args.root,
         major_ratio=args.major_ratio, num_data=args.num_data,

@@ -250,3 +250,44 @@ def test_supervise_stall_watchdog():
     code, attempts = supervise(["x"], retries=3, backoff=0,
                                _run=lambda: next(runs))
     assert code == 0 and attempts == 2
+
+
+def test_mimicry_auto_resume_helpers(tmp_path):
+    """latest_ckpt_step parses the reference checkpoint layout;
+    resolve_phase2_resume prefers this experiment's own newest
+    checkpoints (with its own netD_drs) over the baseline phase-1 files,
+    and is a no-op without --auto_resume or without own checkpoints."""
+    sys.path.insert(0, str(REPO))
+    import argparse
+
+    from diagan_tpu.cli.common import (
+        latest_ckpt_step,
+        phase1_ckpt_paths,
+        resolve_phase2_resume,
+    )
+
+    exp = tmp_path / "exp"
+    assert latest_ckpt_step(exp) is None
+    for sub in ("netG", "netD", "netD_drs"):
+        (exp / "checkpoints" / sub).mkdir(parents=True)
+    for s in (1000, 3000, 2000):
+        (exp / f"checkpoints/netG/netG_{s}_steps.pth").touch()
+        (exp / f"checkpoints/netD/netD_{s}_steps.pth").touch()
+    (exp / "checkpoints/netD_drs/netD_drs_3000_steps.pth").touch()
+    (exp / "checkpoints/netG/junk.pth").touch()
+    assert latest_ckpt_step(exp) == 3000
+
+    base_g, base_d = phase1_ckpt_paths(tmp_path / "baseline", 40000)
+    ns = argparse.Namespace(auto_resume=True)
+    g, d, drs = resolve_phase2_resume(ns, exp, base_g, base_d, base_d)
+    assert g.name == "netG_3000_steps.pth" and g.parent.parent.parent.parent == exp.parent
+    assert d.name == "netD_3000_steps.pth"
+    assert drs.name == "netD_drs_3000_steps.pth"
+
+    ns_off = argparse.Namespace(auto_resume=False)
+    g2, d2, drs2 = resolve_phase2_resume(ns_off, exp, base_g, base_d, base_d)
+    assert (g2, d2, drs2) == (base_g, base_d, base_d)
+
+    fresh = tmp_path / "fresh"
+    g3, d3, drs3 = resolve_phase2_resume(ns, fresh, base_g, base_d, base_d)
+    assert (g3, d3, drs3) == (base_g, base_d, base_d)

@@ -69,6 +69,12 @@ def main():
         args.stop_save_logit_after = 40000
     print(args)
 
+    if not args.ckpt_step and getattr(args, "auto_resume", False):
+        from diagan_tpu.cli.common import latest_ckpt_step
+
+        args.ckpt_step = latest_ckpt_step(save_path)
+        if args.ckpt_step:
+            print(f"auto-resuming from step {args.ckpt_step}")
     if args.ckpt_step:
         netG_ckpt_file = save_path / f"checkpoints/netG/netG_{args.ckpt_step}_steps.pth"
         netD_ckpt_file = save_path / f"checkpoints/netD/netD_{args.ckpt_step}_steps.pth"

@@ -67,6 +67,12 @@ def main():
     )
     # D_drs starts from netD's phase-1 weights (reference :98-101)
     netD_drs_ckpt_path = netD_ckpt_path
+    from diagan_tpu.cli.common import resolve_phase2_resume
+
+    netG_ckpt_path, netD_ckpt_path, netD_drs_ckpt_path = (
+        resolve_phase2_resume(args, save_path, netG_ckpt_path,
+                              netD_ckpt_path, netD_drs_ckpt_path)
+    )
 
     bundle = get_gan_model(
         dataset_name=args.dataset, model=args.model, loss_type=args.loss_type,
