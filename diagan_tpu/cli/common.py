@@ -38,6 +38,10 @@ def add_common_train_flags(parser: argparse.ArgumentParser):
     # scripts/supervise.py). Phase-2 scripts fall back to the baseline
     # phase-1 checkpoints on a fresh start.
     parser.add_argument("--auto_resume", action="store_true")
+    # additive: bfloat16 compute for the SNGAN-family conv/dense stack
+    # (fp32 params/BN stats/spectral norm/logit head) — measured +10%
+    # steps/s on SNGAN CIFAR-10 (TPU v5e); mirrors the StyleGAN2 --bf16
+    parser.add_argument("--bf16", action="store_true")
     return parser
 
 

@@ -52,10 +52,11 @@ class _InfoMaxHeads(nn.Module):
 class InfoMaxGANDiscriminator32(nn.Module):
     ndf: int = 128
     nrkhs: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
-        logits, aux = SNGANDiscriminator32(self.ndf)(x, update_stats)
+        logits, aux = SNGANDiscriminator32(self.ndf, dtype=self.dtype)(x, update_stats)
         local_proj, global_proj = _InfoMaxHeads(self.nrkhs)(
             aux["local"], aux["features"], update_stats
         )
@@ -67,10 +68,11 @@ class InfoMaxGANDiscriminator32(nn.Module):
 class InfoMaxGANDiscriminator64(nn.Module):
     ndf: int = 1024
     nrkhs: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
-        logits, aux = SNGANDiscriminator64(self.ndf)(x, update_stats)
+        logits, aux = SNGANDiscriminator64(self.ndf, dtype=self.dtype)(x, update_stats)
         local_proj, global_proj = _InfoMaxHeads(self.nrkhs)(
             aux["local"], aux["features"], update_stats
         )

@@ -7,6 +7,11 @@ DBlockOptimized with nearest-neighbor up / mean-pool down, spectral
 normalization on all discriminator weights (one power iteration per step,
 state in the 'spectral' variable collection), Xavier-uniform init with gain
 sqrt(2) on block convs and gain 1 on shortcut/output layers.
+
+`dtype` is the compute dtype of the convs/denses (params always stored
+fp32, spectral-norm power iteration always fp32); BatchNorm statistics are
+forced to fp32 regardless. Same mixed-precision scheme as the StyleGAN2
+`--bf16` path (models/stylegan2.py).
 """
 from __future__ import annotations
 
@@ -51,6 +56,7 @@ class SNConv(nn.Module):
     padding: str | tuple = "SAME"
     use_bias: bool = True
     gain: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
@@ -61,6 +67,7 @@ class SNConv(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             kernel_init=xavier_uniform(self.gain),
+            dtype=self.dtype,
         )
         return nn.SpectralNorm(conv, collection_name="spectral")(
             x, update_stats=update_stats
@@ -71,11 +78,13 @@ class SNDense(nn.Module):
     features: int
     use_bias: bool = True
     gain: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
         dense = nn.Dense(
-            self.features, use_bias=self.use_bias, kernel_init=xavier_uniform(self.gain)
+            self.features, use_bias=self.use_bias,
+            kernel_init=xavier_uniform(self.gain), dtype=self.dtype,
         )
         return nn.SpectralNorm(dense, collection_name="spectral")(
             x, update_stats=update_stats
@@ -88,25 +97,27 @@ class GBlock(nn.Module):
 
     out_features: int
     upsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_features = x.shape[-1]
         learnable_sc = (in_features != self.out_features) or self.upsample
 
-        h = nn.BatchNorm(use_running_average=not train)(x)
+        # BatchNorm statistics in fp32 even under bf16 compute.
+        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
         h = nn.relu(h)
         if self.upsample:
             h = upsample_nearest_2x(h)
         h = nn.Conv(
             self.out_features, (3, 3), padding="SAME",
-            kernel_init=xavier_uniform(_SQRT2),
+            kernel_init=xavier_uniform(_SQRT2), dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Conv(
             self.out_features, (3, 3), padding="SAME",
-            kernel_init=xavier_uniform(_SQRT2),
+            kernel_init=xavier_uniform(_SQRT2), dtype=self.dtype,
         )(h)
 
         sc = x
@@ -115,9 +126,9 @@ class GBlock(nn.Module):
         if learnable_sc:
             sc = nn.Conv(
                 self.out_features, (1, 1), padding="VALID",
-                kernel_init=xavier_uniform(1.0),
+                kernel_init=xavier_uniform(1.0), dtype=self.dtype,
             )(sc)
-        return h + sc
+        return h + sc.astype(h.dtype)
 
 
 class DBlock(nn.Module):
@@ -126,6 +137,7 @@ class DBlock(nn.Module):
 
     out_features: int
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
@@ -133,20 +145,19 @@ class DBlock(nn.Module):
         learnable_sc = (in_features != self.out_features) or self.downsample
 
         h = nn.relu(x)
-        h = SNConv(self.out_features, gain=_SQRT2)(h, update_stats)
+        h = SNConv(self.out_features, gain=_SQRT2, dtype=self.dtype)(h, update_stats)
         h = nn.relu(h)
-        h = SNConv(self.out_features, gain=_SQRT2)(h, update_stats)
+        h = SNConv(self.out_features, gain=_SQRT2, dtype=self.dtype)(h, update_stats)
         if self.downsample:
             h = avg_pool_2x(h)
 
         sc = x
         if learnable_sc:
-            sc = SNConv(self.out_features, (1, 1), padding="VALID", gain=1.0)(
-                sc, update_stats
-            )
+            sc = SNConv(self.out_features, (1, 1), padding="VALID", gain=1.0,
+                        dtype=self.dtype)(sc, update_stats)
             if self.downsample:
                 sc = avg_pool_2x(sc)
-        return h + sc
+        return h + sc.astype(h.dtype)
 
 
 class DBlockOptimized(nn.Module):
@@ -154,16 +165,16 @@ class DBlockOptimized(nn.Module):
     down+(1x1 conv) shortcut (always learnable)."""
 
     out_features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
-        h = SNConv(self.out_features, gain=_SQRT2)(x, update_stats)
+        h = SNConv(self.out_features, gain=_SQRT2, dtype=self.dtype)(x, update_stats)
         h = nn.relu(h)
-        h = SNConv(self.out_features, gain=_SQRT2)(h, update_stats)
+        h = SNConv(self.out_features, gain=_SQRT2, dtype=self.dtype)(h, update_stats)
         h = avg_pool_2x(h)
 
         sc = avg_pool_2x(x)
-        sc = SNConv(self.out_features, (1, 1), padding="VALID", gain=1.0)(
-            sc, update_stats
-        )
-        return h + sc
+        sc = SNConv(self.out_features, (1, 1), padding="VALID", gain=1.0,
+                    dtype=self.dtype)(sc, update_stats)
+        return h + sc.astype(h.dtype)

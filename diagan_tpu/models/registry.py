@@ -78,14 +78,21 @@ def get_gan_model(
     num_pack=1,
     **kwargs,
 ) -> GANBundle:
+    if dataset_name in ("cifar10", "celeba"):
+        import jax.numpy as jnp
+
+        # bf16=True runs the conv/dense stack in bfloat16 (fp32 params,
+        # BatchNorm stats, spectral norm, and logit head) — TPU-native
+        # addition mirroring the StyleGAN2 --bf16 path; see models/layers.py
+        sn_dtype = jnp.bfloat16 if kwargs.get("bf16") else jnp.float32
     if dataset_name == "cifar10":
-        gen = _GEN_32[model]()
-        disc_cls = _DISC_32[model]
+        gen = _GEN_32[model](dtype=sn_dtype)
+        disc_cls = lambda: _DISC_32[model](dtype=sn_dtype)  # noqa: E731
         opt = OptSpec(2e-4, (0.0, 0.9))
         nz, size, nc = 128, 32, 3
     elif dataset_name == "celeba":
-        gen = _GEN_64[model]()
-        disc_cls = _DISC_64[model]
+        gen = _GEN_64[model](dtype=sn_dtype)
+        disc_cls = lambda: _DISC_64[model](dtype=sn_dtype)  # noqa: E731
         opt = OptSpec(2e-4, (0.0, 0.9))
         nz, size, nc = 128, 64, 3
     elif dataset_name in ("color_mnist", "mnist_fmnist"):

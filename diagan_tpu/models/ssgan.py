@@ -9,6 +9,7 @@ spectral-normed dense layer over the pooled backbone features.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from diagan_tpu.models.layers import SNDense
 from diagan_tpu.models.sngan import (
@@ -35,19 +36,21 @@ class _SSHead(nn.Module):
 
 class SSGANDiscriminator32(nn.Module):
     ndf: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
-        logits, aux = SNGANDiscriminator32(self.ndf)(x, update_stats)
+        logits, aux = SNGANDiscriminator32(self.ndf, dtype=self.dtype)(x, update_stats)
         aux["ss_logits"] = _SSHead()(aux["features"], update_stats)
         return logits, aux
 
 
 class SSGANDiscriminator64(nn.Module):
     ndf: int = 1024
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
-        logits, aux = SNGANDiscriminator64(self.ndf)(x, update_stats)
+        logits, aux = SNGANDiscriminator64(self.ndf, dtype=self.dtype)(x, update_stats)
         aux["ss_logits"] = _SSHead()(aux["features"], update_stats)
         return logits, aux

@@ -237,13 +237,15 @@ def test_supervise_stall_watchdog():
     from scripts.supervise import STALL_EXIT, _run_with_watchdog, supervise
 
     hang = [sys.executable, "-c",
-            "import time; print('up', flush=True); time.sleep(60)"]
+            "import time; print('up', flush=True); time.sleep(120)"]
     t0 = time.time()
     code = _run_with_watchdog(hang, stall_timeout=2)
-    assert code == STALL_EXIT and time.time() - t0 < 30
+    assert code == STALL_EXIT and time.time() - t0 < 90
 
+    # generous stall_timeout: only the exit code is under test, and child
+    # startup can take seconds on a loaded machine
     ok = [sys.executable, "-c", "print('done')"]
-    code = _run_with_watchdog(ok, stall_timeout=5)
+    code = _run_with_watchdog(ok, stall_timeout=60)
     assert code == 0
 
     runs = iter([STALL_EXIT, 0])

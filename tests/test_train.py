@@ -114,6 +114,42 @@ def test_ssgan_smoke(tmp_path, tiny_dataset):
     assert tr.global_step == 2
 
 
+def test_sngan_bf16_compute_matches_fp32():
+    """--bf16 on the SNGAN family: params stay fp32 with an identical tree,
+    G output returns fp32 and tracks the fp32 model on the same params,
+    D logits track fp32, and grads through both stay finite."""
+    import jax
+
+    b32 = get_gan_model("cifar10", model="sngan", loss_type="hinge")
+    b16 = get_gan_model("cifar10", model="sngan", loss_type="hinge", bf16=True)
+    k = jax.random.key(0)
+    z = jax.random.normal(k, (4, b32.nz))
+    gv = b32.gen.init({"params": k}, z, train=False)
+    assert jax.tree.structure(gv) == jax.tree.structure(
+        b16.gen.init({"params": k}, z, train=False)
+    )
+    a = b32.gen.apply(gv, z, train=False)
+    b = b16.gen.apply(gv, z, train=False)  # same fp32 params
+    assert b.dtype == jnp.float32
+    assert jax.tree.leaves(gv["params"])[0].dtype == jnp.float32
+    assert float(jnp.mean(jnp.abs(a - b))) < 0.05
+
+    dv = b32.disc.init({"params": k}, a)
+    la = b32.disc.apply(dv, a)[0]
+    lb = b16.disc.apply(dv, a)[0]
+    assert lb.dtype == jnp.float32
+    assert float(jnp.mean(jnp.abs(la - lb))) < 0.05 * (
+        1.0 + float(jnp.mean(jnp.abs(la)))
+    )
+
+    def d_loss(params):
+        logits, _ = b16.disc.apply({**dv, "params": params}, b)
+        return jnp.mean(jax.nn.relu(1.0 - logits))
+
+    grads = jax.grad(d_loss)(dv["params"])
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+
 def test_logit_recorder_scatter():
     N = 37
     images = np.random.default_rng(0).integers(0, 255, (N, 4, 4, 1), np.uint8)

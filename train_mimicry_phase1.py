@@ -49,6 +49,7 @@ def main():
     bundle = get_gan_model(
         dataset_name=args.dataset, model=args.model,
         loss_type=args.loss_type, topk=args.topk, num_pack=args.num_pack,
+        bf16=getattr(args, "bf16", False),
     )
     ds_train = get_predefined_dataset(dataset_name=args.dataset, root=args.root)
 
