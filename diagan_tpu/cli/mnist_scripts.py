@@ -85,6 +85,7 @@ def phase1(dataset, root, exp):
     bundle = get_gan_model(
         dataset_name=args.dataset, model=args.model, num_pack=args.num_pack,
         loss_type=args.loss_type, topk=args.topk == 1,
+        bf16=getattr(args, "bf16", False),
     )
     ds_train = get_predefined_dataset(
         dataset_name=args.dataset, root=args.root,
@@ -153,6 +154,7 @@ def phase2(dataset, root, exp):
     bundle = get_gan_model(
         dataset_name=args.dataset, model=args.model, drs=True,
         loss_type=args.loss_type, num_pack=args.num_pack,
+        bf16=getattr(args, "bf16", False),
     )
     netG_ckpt = baseline_save_path / f"checkpoints/netG/netG_{args.p1_step}_steps.pth"
     netD_ckpt = baseline_save_path / f"checkpoints/netD/netD_{args.p1_step}_steps.pth"
@@ -254,6 +256,7 @@ def phase2_gold(dataset, root, exp):
     bundle = get_gan_model(
         dataset_name=args.dataset, model=args.model,
         loss_type=args.loss_type, gold=True, num_pack=args.num_pack,
+        bf16=getattr(args, "bf16", False),
     )
     netG_ckpt = baseline_save_path / f"checkpoints/netG/netG_{args.p1_step}_steps.pth"
     netD_ckpt = baseline_save_path / f"checkpoints/netD/netD_{args.p1_step}_steps.pth"

@@ -96,10 +96,14 @@ def get_gan_model(
         opt = OptSpec(2e-4, (0.0, 0.9))
         nz, size, nc = 128, 64, 3
     elif dataset_name in ("color_mnist", "mnist_fmnist"):
+        import jax.numpy as jnp
+
+        dc_dtype = jnp.bfloat16 if kwargs.get("bf16") else jnp.float32
         nc = 3 if dataset_name == "color_mnist" else 1
-        gen = mnist_dcgan.MNISTDCGANGenerator(nc=nc)
+        gen = mnist_dcgan.MNISTDCGANGenerator(nc=nc, dtype=dc_dtype)
         disc_cls = lambda: mnist_dcgan.MNISTDCGANDiscriminator(  # noqa: E731
-            nc=nc, num_pack=num_pack, use_sn=kwargs.get("use_sn", False)
+            nc=nc, num_pack=num_pack, use_sn=kwargs.get("use_sn", False),
+            dtype=dc_dtype,
         )
         opt = OptSpec(1e-4, (0.5, 0.9))
         nz, size = 100, 32

@@ -150,6 +150,32 @@ def test_sngan_bf16_compute_matches_fp32():
     assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
 
 
+def test_dcgan_bf16_compute_matches_fp32():
+    """bf16 on the MNIST DCGAN: identical param tree, fp32 outputs, value
+    agreement with the fp32 model on shared params."""
+    import jax
+
+    b32 = get_gan_model("color_mnist")
+    b16 = get_gan_model("color_mnist", bf16=True)
+    k = jax.random.key(0)
+    z = jax.random.normal(k, (4, b32.nz))
+    gv = b32.gen.init({"params": k}, z, train=False)
+    assert jax.tree.structure(gv) == jax.tree.structure(
+        b16.gen.init({"params": k}, z, train=False)
+    )
+    a = b32.gen.apply(gv, z, train=False)
+    b = b16.gen.apply(gv, z, train=False)
+    assert b.dtype == jnp.float32
+    assert float(jnp.mean(jnp.abs(a - b))) < 0.05
+    dv = b32.disc.init({"params": k, "dropout": k}, a)
+    la = b32.disc.apply(dv, a, train=False)[0]
+    lb = b16.disc.apply(dv, a, train=False)[0]
+    assert lb.dtype == jnp.float32
+    assert float(jnp.mean(jnp.abs(la - lb))) < 0.05 * (
+        1.0 + float(jnp.mean(jnp.abs(la)))
+    )
+
+
 def test_logit_recorder_scatter():
     N = 37
     images = np.random.default_rng(0).integers(0, 255, (N, 4, 4, 1), np.uint8)
