@@ -94,6 +94,38 @@ def test_phase2_weighted_with_drs(tmp_path, tiny_dataset):
     assert all(k >= 8 for k in logits2)
 
 
+def test_resume_is_bitwise_deterministic(tmp_path, tiny_dataset):
+    """An 8-step straight run and a 4-step run resumed from its step-4
+    checkpoint end with bit-identical G and D params: batch/latent keys are
+    fold_in(seed, global_step), so resume replays the exact stream, and the
+    checkpoint carries optimizer state + model collections. Pins the
+    restart-determinism observed on hardware (docs/VALIDATION.md, FFHQ
+    soak) as a unit test."""
+    import jax
+
+    tr_a = _make_trainer(tmp_path / "straight", tiny_dataset, save_steps=4)
+    tr_a.train()
+    # resume from the straight run's own mid-run (step-4) checkpoint; the
+    # resuming trainer must use the same num_steps or the linear-decay
+    # schedule (and hence the params) legitimately differs
+    tr_c = _make_trainer(
+        tmp_path / "resumed", tiny_dataset, save_steps=4,
+        netG_ckpt_file=str(
+            tmp_path / "straight/checkpoints/netG/netG_4_steps.pth"),
+        netD_ckpt_file=str(
+            tmp_path / "straight/checkpoints/netD/netD_4_steps.pth"),
+    )
+    assert tr_c.global_step == 4
+    tr_c.train()
+    for name, a, c in (
+        ("G", tr_a.g_state.params, tr_c.g_state.params),
+        ("D", tr_a.d_state.params, tr_c.d_state.params),
+    ):
+        for pa, pc in zip(jax.tree.leaves(a), jax.tree.leaves(c)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc),
+                                          err_msg=f"{name} params diverged")
+
+
 def test_gold_and_topk_smoke(tmp_path, tiny_dataset):
     tr = _make_trainer(
         tmp_path, tiny_dataset, gold=True, topk=True, gold_step=4,
