@@ -88,7 +88,7 @@ def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
     out = pl.pallas_call(
         kernel,
         grid=(n, tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, tile_h, owc_p), lambda i, t: (i, t, 0),
             memory_space=pltpu.VMEM,
