@@ -26,6 +26,19 @@ BASELINE_STEPS_PER_SEC_A100 = 8.0
 
 
 def main():
+    # The shared TPU worker can crash transiently (see
+    # .claude/skills/verify/SKILL.md); one retry after a cooldown keeps a
+    # transient crash from zeroing out the round's benchmark.
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 - any device/transport error
+        print(f"WARN: bench attempt failed ({type(e).__name__}: {e}); "
+              "retrying in 90s", flush=True, file=__import__("sys").stderr)
+        time.sleep(90)
+        _run()
+
+
+def _run():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from diagan_tpu.data.arrays import ArrayDataset
