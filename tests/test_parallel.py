@@ -69,6 +69,15 @@ def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
         np.testing.assert_array_equal(arr, per_dev[0])
 
 
+@pytest.mark.slow
+def test_graft_dryrun_multichip(mesh):
+    # The driver's multi-chip gate: must run in-process on the 8-device
+    # CPU mesh (conftest provides it, so no subprocess bootstrap here).
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
 def test_sharded_matches_single_device_structure(tmp_path, mesh):
     # grad-pmean path must not change pytree structure vs single-device
     g, d, dd, fused, src = _setup(tmp_path, mesh)
