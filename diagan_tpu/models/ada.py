@@ -1,22 +1,30 @@
 """ADA — adaptive discriminator augmentation (non-leaking) for StyleGAN2.
 
-Capability parity with reference stylegan2/non_leaking.py: each image gets,
-with probability p per transform,
-  geometric: x-flip, 90-degree rotation, integer translation, isotropic
-  scaling, arbitrary rotation, anisotropic scaling, fractional translation
-  — composed as a single 3x3 matrix (non_leaking.py:188-244) and applied
-  in one resampling pass;
-  color: brightness, contrast, luma flip, hue rotation, saturation —
-  composed 4x4 matrices applied per pixel (non_leaking.py:247-278).
-`AdaptiveAugment` drives p toward the r_t=0.6 sign-of-D(real) target
-(non_leaking.py:10-43); under a mesh the (sign_sum, count) pair is a psum.
+Distribution parity with reference stylegan2/non_leaking.py:
+  geometric (sample_affine, non_leaking.py:188-244): x-flip, 90-degree
+  rotation with the reference's category set {0, 3}, pixel-rounded integer
+  translation (one scalar shared by both axes), isotropic log-normal scale,
+  a pre-rotate / anisotropic-scale / post-rotate sandwich where both
+  rotations fire at p_rot = 1 - sqrt(1 - p), and fractional translation
+  (again one scalar for both axes) — each transform gated by an independent
+  Bernoulli(p) and composed into one 3x3 matrix;
+  color (sample_color, non_leaking.py:247-278): brightness, contrast,
+  luma flip, hue rotation, saturation as composed 4x4 matrices.
+Every gate and every parameter draws from its own split of the RNG key
+(the reference draws them as independent torch RNG calls).
 
-TPU-native: the reference resamples through padded upfirdn2d with sym6
-wavelet filters; here the composed affine is applied in a single bilinear
-`map_coordinates` gather on a reflect-padded image — one fused XLA gather
-instead of the multi-pass wavelet pipeline (antialiasing quality is
-slightly lower; the non-leaking property, which depends only on the
-transform distribution, is preserved).
+Resampling is antialiased through the same separable sym6 wavelet filter
+as the reference (non_leaking.py:46-59,353-408): reflect-pad, 2x upsample
+through `upfirdn2d` with the flipped kernel, one bilinear affine gather at
+the doubled resolution, then sym6 filter + 2x downsample and crop. Because
+sym6 is an orthonormal scaling filter, the identity transform reconstructs
+the input exactly — same property as the reference pipeline. TPU-native
+deviations (documented in docs/PARITY.md): the reflect pad is a STATIC
+3h/4 + 6 (XLA needs static shapes; the reference pads dynamically per
+batch and resamples G when torch's reflect pad overflows), and source
+coordinates beyond the padded region clamp to its edge instead of
+triggering a resample — both only reachable in the far tail of the scale
+distribution.
 """
 from __future__ import annotations
 
@@ -24,6 +32,26 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from diagan_tpu.ops.upfirdn2d import upfirdn2d
+
+# sym6 wavelet scaling filter, the reference's antialiasing kernel
+# (non_leaking.py:46-59). Orthonormal: sum(k^2) == 1, sum(k) == sqrt(2).
+SYM6 = (
+    0.015404109327027373,
+    0.0034907120842174702,
+    -0.11799011114819057,
+    -0.048311742585633,
+    0.4910559419267466,
+    0.787641141030194,
+    0.3379294217276218,
+    -0.07263752278646252,
+    -0.021060292512300564,
+    0.04472490177066578,
+    0.0017677118642428036,
+    -0.007800708325034148,
+)
 
 
 def _rot2d(theta):
@@ -57,145 +85,232 @@ def _translate2d(tx, ty):
     ], -2)
 
 
-def sample_affine_matrices(key, n, p, translate=0.125, translate_std=0.125):
-    """Per-sample composed 3x3 geometric matrices (image coords in [-1,1]).
+def _gated(key, prob, M, G):
+    """select*M + (1-select)*I, then compose — the reference's
+    random_mat_apply (non_leaking.py:180-185), with the gate drawn from its
+    OWN key (independent of the parameter draw)."""
+    n = M.shape[0]
+    sel = jax.random.bernoulli(key, prob, (n,)).astype(M.dtype)[:, None, None]
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)[None]
+    return (sel * M + (1.0 - sel) * eye) @ G
 
-    Transform set and parameter ranges follow non_leaking.py:188-244.
+
+def _lognormal2(key, n, std_log2):
+    """2 ** Normal(0, std_log2) == reference lognormal_sample(std=std*ln2)."""
+    return 2.0 ** (std_log2 * jax.random.normal(key, (n,)))
+
+
+def sample_affine_matrices(key, n, p, height, width):
+    """Per-sample composed 3x3 geometric matrices in [-1,1] image coords.
+
+    Exact transform-distribution parity with sample_affine
+    (non_leaking.py:188-244), including its quirks: 90-degree rotation
+    categories are {0, 3} (identity or +90), integer/fractional translation
+    reuse one scalar for both axes, and integer translation is rounded to
+    the pixel grid of each axis.
     """
-    ks = jax.random.split(key, 8)
-    G = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
+    ks = jax.random.split(key, 16)
+    G = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (n, 1, 1))
+    ones = jnp.ones((n,), jnp.float32)
 
-    def apply_if(mask, M, G):
-        return jnp.where(mask[:, None, None], M @ G, G)
+    # x-flip: param in {0,1} -> scale(1-2*param, 1)
+    param = jax.random.bernoulli(ks[1], 0.5, (n,)).astype(jnp.float32)
+    G = _gated(ks[0], p, _scale2d(1.0 - 2.0 * param, ones), G)
 
-    # x-flip
-    flip = jax.random.bernoulli(ks[0], 0.5, (n,)) & \
-        jax.random.bernoulli(ks[0], p, (n,))
-    G = apply_if(flip, _scale2d(jnp.where(flip, -1.0, 1.0), jnp.ones(n)), G)
-    # 90-degree rotations
-    do = jax.random.bernoulli(ks[1], p, (n,))
-    quarter = jax.random.randint(ks[1], (n,), 0, 4).astype(jnp.float32)
-    G = apply_if(do, _rot2d(jnp.where(do, quarter * (math.pi / 2), 0.0)), G)
-    # integer translate (fraction of image size)
-    do = jax.random.bernoulli(ks[2], p, (n,))
-    t = jax.random.uniform(ks[2], (n, 2), minval=-translate, maxval=translate)
-    t = jnp.where(do[:, None], t, 0.0)
-    G = _translate2d(t[:, 0] * 2, t[:, 1] * 2) @ G
-    # isotropic scale, lognormal(0.2*log2)
-    do = jax.random.bernoulli(ks[3], p, (n,))
-    s = 2.0 ** (jax.random.normal(ks[3], (n,)) * 0.2)
-    s = jnp.where(do, s, 1.0)
-    G = _scale2d(s, s) @ G
-    # arbitrary rotation
-    do = jax.random.bernoulli(ks[4], p, (n,))
-    theta = jax.random.uniform(ks[4], (n,), minval=-math.pi, maxval=math.pi)
-    G = apply_if(do, _rot2d(jnp.where(do, theta, 0.0)), G)
-    # anisotropic scale
-    do = jax.random.bernoulli(ks[5], p, (n,))
-    sa = 2.0 ** (jax.random.normal(ks[5], (n,)) * 0.2)
-    sa = jnp.where(do, sa, 1.0)
-    G = _scale2d(sa, 1.0 / sa) @ G
-    # fractional translate
-    do = jax.random.bernoulli(ks[6], p, (n,))
-    t = jax.random.normal(ks[6], (n, 2)) * translate_std
-    t = jnp.where(do[:, None], t, 0.0)
-    G = _translate2d(t[:, 0] * 2, t[:, 1] * 2) @ G
+    # 90-degree rotation: category_sample(size, (0, 3)) — identity or
+    # -pi/2*3 = +90deg only (non_leaking.py:199-200)
+    param = 3.0 * jax.random.bernoulli(ks[3], 0.5, (n,)).astype(jnp.float32)
+    G = _gated(ks[2], p, _rot2d(-(math.pi / 2) * param), G)
+
+    # integer translate: ONE U(-1/8, 1/8) scalar, rounded to each axis's
+    # pixel grid (non_leaking.py:205-208)
+    t = jax.random.uniform(ks[5], (n,), minval=-0.125, maxval=0.125)
+    G = _gated(ks[4], p, _translate2d(
+        jnp.round(t * width) / width, jnp.round(t * height) / height), G)
+
+    # isotropic scale: lognormal(std = 0.2*ln2)
+    s = _lognormal2(ks[7], n, 0.2)
+    G = _gated(ks[6], p, _scale2d(s, s), G)
+
+    # pre-rotate / anisotropic scale / post-rotate sandwich: the rotations
+    # fire at p_rot = 1 - sqrt(1-p) so that "any rotation applied" has
+    # probability ~p (non_leaking.py:218-236)
+    p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
+    theta = jax.random.uniform(ks[9], (n,), minval=-math.pi, maxval=math.pi)
+    G = _gated(ks[8], p_rot, _rot2d(-theta), G)
+
+    s = _lognormal2(ks[11], n, 0.2)
+    G = _gated(ks[10], p, _scale2d(s, 1.0 / s), G)
+
+    theta = jax.random.uniform(ks[13], (n,), minval=-math.pi, maxval=math.pi)
+    G = _gated(ks[12], p_rot, _rot2d(-theta), G)
+
+    # fractional translate: ONE N(0, 0.125) scalar for both axes
+    t = 0.125 * jax.random.normal(ks[15], (n,))
+    G = _gated(ks[14], p, _translate2d(t, t), G)
     return G
 
 
-def apply_affine(images, G):
-    """Apply per-sample inverse-affine resampling, bilinear, reflect pad.
-    images: (N, H, W, C); G maps output coords -> input coords directly
-    (we invert the composed forward matrix)."""
-    n, h, w, c = images.shape
-    Ginv = jnp.linalg.inv(G)
-    ys = jnp.linspace(-1 + 1 / h, 1 - 1 / h, h)
-    xs = jnp.linspace(-1 + 1 / w, 1 - 1 / w, w)
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    ones = jnp.ones_like(xx)
-    grid = jnp.stack([xx, yy, ones], 0).reshape(3, -1)  # (3, H*W)
-    src = jnp.einsum("nij,jk->nik", Ginv, grid)  # (N, 3, H*W)
-    sx = (src[:, 0] + 1) * (w / 2) - 0.5
-    sy = (src[:, 1] + 1) * (h / 2) - 0.5
-
-    def sample_one(img, sy, sx):
-        coords = jnp.stack([sy, sx], 0)
-
-        def chan(cimg):
-            return jax.scipy.ndimage.map_coordinates(
-                cimg, coords, order=1, mode="reflect"
-            )
-
-        return jax.vmap(chan, in_axes=-1, out_axes=-1)(img).reshape(h, w, c)
-
-    return jax.vmap(sample_one)(images, sy, sx)
-
-
 def sample_color_matrices(key, n, p):
-    """Composed 4x4 color matrices (non_leaking.py:247-278)."""
-    ks = jax.random.split(key, 5)
-    I = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
-    C = I
-    v = jnp.asarray([1, 1, 1, 0], jnp.float32) / math.sqrt(3)
+    """Composed 4x4 color matrices — parity with sample_color
+    (non_leaking.py:247-278); every gate/parameter pair on its own key."""
+    ks = jax.random.split(key, 10)
+    C = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
+    v = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32) / math.sqrt(3)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
 
-    # brightness
-    do = jax.random.bernoulli(ks[0], p, (n,))
-    b = jnp.where(do, jax.random.normal(ks[0], (n,)) * 0.2, 0.0)
-    M = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
-    M = M.at[:, :3, 3].set(b[:, None] * jnp.ones((n, 3)))
-    C = M @ C
-    # contrast
-    do = jax.random.bernoulli(ks[1], p, (n,))
-    cfac = jnp.where(do, 2.0 ** (jax.random.normal(ks[1], (n,)) * 0.5), 1.0)
-    M = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
-    M = M * cfac[:, None, None]
-    M = M.at[:, 3, 3].set(1.0)
-    C = M @ C
-    # luma flip (householder about v)
-    do = jax.random.bernoulli(ks[2], p, (n,))
-    flip = jnp.where(do, 1.0, 0.0)
-    H = jnp.eye(4) - 2.0 * jnp.outer(v, v)
-    M = (1 - flip)[:, None, None] * I + flip[:, None, None] * H[None]
-    C = M @ C
-    # hue rotation about the luma axis
-    do = jax.random.bernoulli(ks[3], p, (n,))
-    theta = jnp.where(do, jax.random.uniform(ks[3], (n,), minval=-math.pi,
-                                             maxval=math.pi), 0.0)
-    axis = v[:3] * math.sqrt(3) / math.sqrt(3)  # (1,1,1)/sqrt3
+    # brightness: translate3d(b, b, b), b ~ N(0, 0.2)
+    b = 0.2 * jax.random.normal(ks[1], (n,))
+    M = jnp.tile(eye4[None], (n, 1, 1)).at[:, :3, 3].set(b[:, None])
+    C = _gated(ks[0], p, M, C)
+
+    # contrast: scale3d(c, c, c), c ~ 2^N(0, 0.5)
+    c = _lognormal2(ks[3], n, 0.5)
+    M = jnp.tile(eye4[None], (n, 1, 1))
+    M = M.at[:, 0, 0].set(c).at[:, 1, 1].set(c).at[:, 2, 2].set(c)
+    C = _gated(ks[2], p, M, C)
+
+    # luma flip: eye - 2*outer(v,v)*i, i in {0,1}
+    i = jax.random.bernoulli(ks[5], 0.5, (n,)).astype(jnp.float32)
+    M = eye4[None] - 2.0 * jnp.outer(v, v)[None] * i[:, None, None]
+    C = _gated(ks[4], p, M, C)
+
+    # hue rotation about the luma axis (Rodrigues)
+    theta = jax.random.uniform(ks[7], (n,), minval=-math.pi, maxval=math.pi)
+    axis = v[:3] * math.sqrt(3) / math.sqrt(3)  # (1,1,1)/sqrt(3)
     K = jnp.asarray([[0, -axis[2], axis[1]],
                      [axis[2], 0, -axis[0]],
                      [-axis[1], axis[0], 0]], jnp.float32)
     ct = jnp.cos(theta)[:, None, None]
     st = jnp.sin(theta)[:, None, None]
-    R3 = ct * jnp.eye(3)[None] + st * K[None] + \
-        (1 - ct) * jnp.outer(axis, axis)[None]
-    M = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
-    M = M.at[:, :3, :3].set(R3)
-    C = M @ C
-    # saturation
-    do = jax.random.bernoulli(ks[4], p, (n,))
-    s = jnp.where(do, 2.0 ** (jax.random.normal(ks[4], (n,)) * 1.0), 1.0)
-    vv = jnp.outer(v[:3], v[:3])
-    M3 = vv[None] + (jnp.eye(3)[None] - vv[None]) * s[:, None, None]
-    M = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
-    M = M.at[:, :3, :3].set(M3)
-    C = M @ C
+    R3 = ct * jnp.eye(3)[None] + st * K[None] \
+        + (1 - ct) * jnp.outer(axis, axis)[None]
+    M = jnp.tile(eye4[None], (n, 1, 1)).at[:, :3, :3].set(R3)
+    C = _gated(ks[6], p, M, C)
+
+    # saturation: outer4 + (eye4 - outer4)*s over the FULL 4x4 (the
+    # reference's saturation_mat also scales the homogeneous corner,
+    # non_leaking.py:146-154 — harmless at application, kept for
+    # matrix-level parity)
+    s = _lognormal2(ks[9], n, 1.0)
+    vv4 = jnp.outer(v, v)
+    M = vv4[None] + (eye4[None] - vv4[None]) * s[:, None, None]
+    C = _gated(ks[8], p, M, C)
     return C
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+def _bilinear_gather(img, qy, qx):
+    """Clamped bilinear sample of one (H, W, C) image at float coords."""
+    h, w = img.shape[0], img.shape[1]
+    qy = jnp.clip(qy, 0.0, h - 1.0)
+    qx = jnp.clip(qx, 0.0, w - 1.0)
+    y0 = jnp.floor(qy).astype(jnp.int32)
+    x0 = jnp.floor(qx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (qy - y0)[..., None]
+    fx = (qx - x0)[..., None]
+    top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+    bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def apply_affine(images, G, antialias=True, pad_frac=0.75):
+    """Apply per-sample affine matrices (output NDC -> input NDC via G^-1).
+
+    antialias=True (default) is the reference pipeline
+    (random_apply_affine, non_leaking.py:353-408): reflect pad, sym6 2x
+    upsample via upfirdn2d(kernel_flip), bilinear affine gather at 2x,
+    sym6 + 2x downsample, crop. The flipped-up / unflipped-down kernel
+    pairing cancels sym6's group delay, and orthonormality makes the
+    identity transform exact.
+
+    pad_frac sets the STATIC reflect pad as a fraction of the image size.
+    The default 0.75 covers the full transform distribution (rotated
+    corner at the +3-sigma scale tail); the padded area is the main cost
+    driver (the upsampled buffer and its scatter-grad scale with
+    (1+2*pad_frac)^2), so speed-sensitive runs can trade tail coverage
+    for ~2x step time with pad_frac=0.33 (covers rotation at scale<=1;
+    beyond it, corners clamp to the pad edge — see docs/PARITY.md).
+
+    antialias=False is a single bilinear gather at 1x — cheaper, aliased;
+    kept for ablation.
+    """
+    n, h, w, c = images.shape
+    Ginv = jnp.linalg.inv(G)
+
+    if not antialias:
+        ys = (2.0 * jnp.arange(h) + 1.0) / h - 1.0
+        xs = (2.0 * jnp.arange(w) + 1.0) / w - 1.0
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        grid = jnp.stack([xx, yy, jnp.ones_like(xx)], 0).reshape(3, -1)
+        src = jnp.einsum("nij,jk->nik", Ginv, grid)
+        qx = (src[:, 0] + 1) * (w / 2) - 0.5
+        qy = (src[:, 1] + 1) * (h / 2) - 0.5
+        out = jax.vmap(_bilinear_gather)(images, qy.reshape(n, h, w),
+                                         qx.reshape(n, h, w))
+        return out
+
+    # --- antialiased path ------------------------------------------------
+    assert h == w, "ADA antialiased path assumes square images"
+    # The reference applies the 2-D outer-product kernel in one 144-tap
+    # pass (its CUDA op is 2-D only); sym6 x sym6 is exactly separable, so
+    # two 12-tap 1-D passes compute the identical result 6x cheaper.
+    k1 = np.asarray(SYM6, np.float32)
+    ky, kx = k1[:, None], k1[None, :]
+    kyf, kxf = ky[::-1], kx[:, ::-1]
+
+    pad_k = (len(SYM6) + 1) // 2    # 6
+    P = min(h - 1, int(pad_frac * h) + pad_k)  # static reflect pad (doc above)
+    xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
+    S = h + 2 * P
+
+    # 2x upsample with the flipped kernel; pad (6,5) makes the output
+    # exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
+    x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
+    x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
+
+    # bilinear affine gather, restricted to the window the downsample's
+    # kept region actually reads: global 2x coords m in [2P-6, 2P+2h+6)
+    m0 = 2 * P - pad_k
+    win = 2 * h + 2 * pad_k
+    m = m0 + jnp.arange(win, dtype=jnp.float32)
+    # output-pixel NDC, derived with kernel center c = 5.5 (the residual
+    # asymmetric part of sym6's delay cancels between the flipped up pass
+    # and the unflipped down pass)
+    u = (m + 0.5 - 2 * P) / h - 1.0
+    uy, ux = jnp.meshgrid(u, u, indexing="ij")
+    grid = jnp.stack([ux, uy, jnp.ones_like(ux)], 0).reshape(3, -1)
+    src = jnp.einsum("nij,jk->nik", Ginv, grid)  # (n, 3, win*win)
+    qx = (src[:, 0] + 1.0) * h + 2 * P - 0.5
+    qy = (src[:, 1] + 1.0) * h + 2 * P - 0.5
+    y = jax.vmap(_bilinear_gather)(x2, qy.reshape(n, win, win),
+                                   qx.reshape(n, win, win))
+
+    # sym6 filter + 2x downsample; with window start m0 the kept original
+    # rows are output indices [3, 3+h)
+    out = upfirdn2d(y, ky, down=(1, 2), pad=(0, 0, pad_k - 1, pad_k - 1))
+    out = upfirdn2d(out, kx, down=(2, 1), pad=(pad_k - 1, pad_k - 1, 0, 0))
+    return out[:, 3:3 + h, 3:3 + w, :]
 
 
 def apply_color(images, C):
     n, h, w, c = images.shape
-    rgb = jnp.concatenate([images, jnp.ones((n, h, w, 1))], -1)
+    rgb = jnp.concatenate([images, jnp.ones((n, h, w, 1), images.dtype)], -1)
     out = jnp.einsum("nij,nhwj->nhwi", C, rgb)
     return out[..., :3]
 
 
-def augment(images, key, p):
-    """Full ADA pipeline: geometric then color, each gated by p."""
+def augment(images, key, p, antialias=True, pad_frac=0.75):
+    """Full ADA pipeline: geometric then color, each internally gated by p
+    (reference augment, non_leaking.py:431-435)."""
     kg, kc = jax.random.split(key)
-    n = images.shape[0]
-    G = sample_affine_matrices(kg, n, p)
-    out = apply_affine(images, G)
+    n, h, w, _ = images.shape
+    G = sample_affine_matrices(kg, n, p, h, w)
+    out = apply_affine(images, G, antialias=antialias, pad_frac=pad_frac)
     if images.shape[-1] == 3:
         C = sample_color_matrices(kc, n, p)
         out = apply_color(out, C)
@@ -209,18 +324,19 @@ class AdaptiveAugment:
         self.ada_aug_target = ada_aug_target
         self.ada_aug_len = ada_aug_len
         self.update_every = update_every
-        self.ada_update = 0
         self.ada_aug_buf = [0.0, 0.0]  # (sign sum, count)
         self.r_t_stat = 0.0
         self.ada_aug_p = 0.0
 
     def tune(self, real_pred_sign_sum, count):
         """Feed the (sum of sign(D(real)), count) pair — already psum'd
-        across the mesh when data-parallel — once per D step."""
+        across the mesh when data-parallel — once per D step. p updates
+        whenever the accumulated IMAGE count reaches update_every (the
+        reference's count-based trigger, non_leaking.py:28), not every
+        update_every calls."""
         self.ada_aug_buf[0] += float(real_pred_sign_sum)
         self.ada_aug_buf[1] += float(count)
-        self.ada_update += 1
-        if self.ada_update % self.update_every == 0:
+        if self.ada_aug_buf[1] > self.update_every - 1:
             sign_sum, n = self.ada_aug_buf
             self.r_t_stat = sign_sum / max(n, 1)
             sign = 1 if self.r_t_stat > self.ada_aug_target else -1
