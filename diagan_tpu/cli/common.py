@@ -42,7 +42,24 @@ def add_common_train_flags(parser: argparse.ArgumentParser):
     # (fp32 params/BN stats/spectral norm/logit head) — measured +10%
     # steps/s on SNGAN CIFAR-10 (TPU v5e); mirrors the StyleGAN2 --bf16
     parser.add_argument("--bf16", action="store_true")
+    # additive: data-parallel training over all visible devices (the
+    # reference's DDP/NCCL path, stylegan2/train_ffhq.py:500-585, exists
+    # only for StyleGAN2 and needs torch.distributed.launch; here any
+    # trainer shards its global batch over a jax.sharding.Mesh in-process).
+    parser.add_argument("--data_parallel", action="store_true")
     return parser
+
+
+def mesh_from_args(args):
+    """jax.sharding.Mesh over all visible devices when --data_parallel;
+    None (single-device program) otherwise."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    from diagan_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    print(f"data-parallel over {mesh.devices.size} devices: {mesh}")
+    return mesh
 
 
 def step_fusions_from_args(args):

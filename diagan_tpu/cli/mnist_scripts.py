@@ -17,6 +17,7 @@ import numpy as np
 from diagan_tpu.cli.common import (
     add_common_train_flags,
     enable_compile_cache,
+    mesh_from_args,
     resolve_phase2_resume,
 )
 from diagan_tpu.data import get_predefined_dataset
@@ -105,6 +106,7 @@ def phase1(dataset, root, exp):
 
     trainer = LogTrainer(
         output_path=save_path,
+        mesh=mesh_from_args(args),
         bundle=bundle,
         dataset=ds_train,
         num_steps=args.num_steps,
@@ -191,6 +193,7 @@ def phase2(dataset, root, exp):
 
     trainer = LogTrainer(
         output_path=save_path,
+        mesh=mesh_from_args(args),
         bundle=bundle,
         dataset=ds_train,
         sample_weights=sample_weights,
@@ -271,6 +274,7 @@ def phase2_gold(dataset, root, exp):
 
     trainer = LogTrainer(
         output_path=save_path,
+        mesh=mesh_from_args(args),
         bundle=bundle,
         dataset=ds_train,
         num_steps=args.num_steps,

@@ -61,6 +61,10 @@ def make_sharded_train_chunk(fused_step, chunk_size: int, mesh: Mesh,
             body, (g_state, d_state, d_drs_state),
             jnp.arange(chunk_size, dtype=jnp.int32),
         )
+        # metric parity with the reference's reduce_loss_dict (rank-0 mean,
+        # stylegan2/distributed.py:104-126): losses are device-local (each
+        # replica saw its own batch shard), so average them over the mesh
+        metrics = jax.lax.pmean(metrics, axis)
         return g_state, d_state, d_drs_state, metrics
 
     repl = P()

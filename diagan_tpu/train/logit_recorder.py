@@ -26,43 +26,94 @@ from diagan_tpu.data.pipeline import full_sweep_index_batches
 
 
 class LogitRecorder:
-    def __init__(self, num_data: int, max_snapshots: int, batch_size: int = 256):
+    def __init__(self, num_data: int, max_snapshots: int, batch_size: int = 256,
+                 mesh=None):
         self.num_data = num_data
         self.max_snapshots = max_snapshots
+        self.mesh = mesh
         self.buffer = jnp.zeros((max_snapshots, num_data), jnp.float32)
         self.steps = np.full((max_snapshots,), -1, np.int64)
         self.count = 0
         idx, mask = full_sweep_index_batches(num_data, batch_size)
+        if mesh is not None:
+            # pad the batch list to a multiple of the mesh size with fully
+            # masked batches so each device scans an equal static share
+            n_dev = int(np.prod(mesh.devices.shape))
+            pad = (-len(idx)) % n_dev
+            if pad:
+                idx = np.concatenate([idx, np.zeros((pad,) + idx.shape[1:],
+                                                    idx.dtype)])
+                mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:],
+                                                      mask.dtype)])
         self._idx = jnp.asarray(idx)
         self._mask = jnp.asarray(mask)
+        self._batch_ids = jnp.arange(self._idx.shape[0], dtype=jnp.int32)
         self._sweep = None
 
     def _build_sweep(self, d_fwd, quantized):
-        @jax.jit
-        def sweep(params, state, images, buffer, slot, key):
+        num_data = self.num_data
+
+        def scan_row(params, state, images, key, idx_all, mask_all, batch_ids):
             def body(carry, xs):
                 buf = carry
                 idx, mask, batch_i = xs
                 batch = jnp.take(images, idx, axis=0)
                 if quantized:
                     batch = batch.astype(jnp.float32) / 127.5 - 1.0
-                # per-batch rng: train-mode sweeps resample dropout like the
-                # reference's stochastic forwards (a fixed mask shifts logit
-                # levels and saturates the ldr_conf clip downstream)
+                # per-batch rng keyed by the GLOBAL batch id: train-mode
+                # sweeps resample dropout like the reference's stochastic
+                # forwards (a fixed mask shifts logit levels and saturates
+                # the ldr_conf clip downstream), and the sharded sweep stays
+                # bit-identical to the single-device one
                 (logits, _), _ = d_fwd(
                     params, state, batch, jax.random.fold_in(key, batch_i)
                 )
                 # padding lanes scatter out-of-bounds and are dropped, so a
                 # padded duplicate of a real index can never clobber it
-                idx_eff = jnp.where(mask, idx, self.num_data)
+                idx_eff = jnp.where(mask, idx, num_data)
                 buf = buf.at[idx_eff].set(logits, mode="drop")
                 return buf, None
 
             row, _ = jax.lax.scan(
-                body, jnp.zeros((self.num_data,), jnp.float32),
-                (self._idx, self._mask,
-                 jnp.arange(self._idx.shape[0], dtype=jnp.int32)),
+                body, jnp.zeros((num_data,), jnp.float32),
+                (idx_all, mask_all, batch_ids),
             )
+            return row
+
+        if self.mesh is None:
+            @jax.jit
+            def sweep(params, state, images, buffer, slot, key):
+                row = scan_row(params, state, images, key,
+                               self._idx, self._mask, self._batch_ids)
+                return buffer.at[slot].set(row)
+
+            return sweep
+
+        # Sharded sweep: split the batch list over the mesh — each device
+        # forwards its share of the dataset and scatters into a local row;
+        # rows are disjoint (every real index lives in exactly one batch),
+        # so a psum reassembles the full row on every device. This is the
+        # TPU form of the reference's distributed logit recording
+        # (concat_all_gather of (idx, logit), stylegan2/train_ffhq.py:128-161).
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+
+        def local(params, state, images, key, idx, mask, batch_ids):
+            row = scan_row(params, state, images, key, idx, mask, batch_ids)
+            return jax.lax.psum(row, axis)
+
+        sharded_row = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=P(), check_vma=False,
+        )
+
+        @jax.jit
+        def sweep(params, state, images, buffer, slot, key):
+            row = sharded_row(params, state, images, key,
+                              self._idx, self._mask, self._batch_ids)
             return buffer.at[slot].set(row)
 
         return sweep

@@ -83,11 +83,27 @@ class LogTrainer:
         weight_eps=1e-6,
         profile_dir=None,
         step_fusions=None,
+        mesh=None,
     ):
         # step_fusions: optional dict of StepConfig probe knobs
         # ({'concat_d', 'fuse_g', 'simultaneous_g'} -> bool); all default
         # False = exact reference step semantics (see steps.StepConfig)
         self.step_fusions = dict(step_fusions or {})
+        # mesh: optional jax.sharding.Mesh for data parallelism — the
+        # DDP/NCCL replacement (reference stylegan2/train_ffhq.py:572-585,
+        # here available to EVERY trainer, not just StyleGAN2). batch_size
+        # stays the GLOBAL batch; each device trains batch_size/n_dev with
+        # its own index/latent stream and pmean'd grads, so weighted
+        # resampling composes with sharding (fixing the reference bug where
+        # DistributedSampler dropped the score weights,
+        # train_ffhq_phase2.py:35-45).
+        self.mesh = mesh
+        self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        if batch_size % self.n_devices:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over the "
+                f"{self.n_devices}-device mesh"
+            )
         # jax.profiler trace over the first chunks when requested
         self.profile_dir = profile_dir
         self.output_path = Path(output_path)
@@ -112,11 +128,24 @@ class LogTrainer:
         self.seed = seed
         self.key = jax.random.key(seed)
 
-        # ---- data (device-resident) -------------------------------------
-        self.source = DeviceDataSource(dataset, weights=sample_weights, eps=weight_eps)
-        self.source_drs = (
-            DeviceDataSource(dataset_drs or dataset) if self.train_drs else None
+        # ---- data (device-resident; replicated over the mesh) -----------
+        data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_sharding = NamedSharding(mesh, PartitionSpec())
+        self.source = DeviceDataSource(
+            dataset, weights=sample_weights, sharding=data_sharding,
+            eps=weight_eps,
         )
+        self.source_drs = (
+            DeviceDataSource(dataset_drs or dataset, sharding=data_sharding)
+            if self.train_drs else None
+        )
+        if mesh is not None and self.source.log_weights is not None:
+            self.source.log_weights = jax.device_put(
+                self.source.log_weights, data_sharding
+            )
         self.num_data = len(dataset)
         self.epoch_steps = max(1, self.num_data // batch_size)
 
@@ -130,10 +159,17 @@ class LogTrainer:
                      lr_decay, n_dis)
             if self.train_drs else None
         )
-        self._lr_sched = (
-            linear_decay_schedule(bundle.opt_d.lr, num_steps)
-            if lr_decay == "linear" else (lambda s: bundle.opt_d.lr)
-        )
+        # reference scalar names: lr_{idx} per optimizer in the order
+        # [optD, optD_drs?, optG] (trainer.py:121, scheduler.py:104)
+        def _sched(lr0):
+            return (linear_decay_schedule(lr0, num_steps)
+                    if lr_decay == "linear" else (lambda s: lr0))
+
+        init_lrs = [bundle.opt_d.lr]
+        if self.train_drs:
+            init_lrs.append(bundle.opt_d_drs.lr)
+        init_lrs.append(bundle.opt_g.lr)
+        self._lr_scheds = [(f"lr_{i}", _sched(lr)) for i, lr in enumerate(init_lrs)]
 
         # ---- init states -------------------------------------------------
         k_g, k_d, k_dd, k_drop = jax.random.split(self.key, 4)
@@ -170,10 +206,18 @@ class LogTrainer:
             # clone of netD's phase-1 weights (train_mimicry_phase2.py:98-101)
             self.d_drs_state = ckpt.restore_net(self.d_drs_state, netD_drs_ckpt_file)
 
+        if mesh is not None:
+            from diagan_tpu.parallel import replicate
+
+            self.g_state = replicate(self.g_state, mesh)
+            self.d_state = replicate(self.d_state, mesh)
+            if self.train_drs:
+                self.d_drs_state = replicate(self.d_drs_state, mesh)
+
         # ---- fused step + chunk -----------------------------------------
         cfg = StepConfig(
             n_dis=n_dis,
-            batch_size=batch_size,
+            batch_size=batch_size // self.n_devices,
             nz=bundle.nz,
             loss_type=bundle.loss_type,
             drs_loss_type=bundle.drs_loss_type,
@@ -184,6 +228,7 @@ class LogTrainer:
             epoch_steps=self.epoch_steps,
             use_drs=self.train_drs,
             quantized=self.source._quantized,
+            axis_name="data" if mesh is not None else None,
             **self.step_fusions,
         )
         self.cfg = cfg
@@ -203,7 +248,7 @@ class LogTrainer:
             (stop_save_logit_after - save_logit_after) // max(1, logit_save_steps)
             + 2
         )
-        self.recorder = LogitRecorder(self.num_data, max(n_snaps, 2))
+        self.recorder = LogitRecorder(self.num_data, max(n_snaps, 2), mesh=mesh)
         self._record_fwd = None
         self._record_name = "{}_{}".format(
             "netD_drs" if self.train_drs else "netD",
@@ -219,7 +264,14 @@ class LogTrainer:
     # ------------------------------------------------------------------
     def _chunk_fn(self, size):
         if size not in self._chunks:
-            self._chunks[size] = make_train_chunk(self.fused_step, size)
+            if self.mesh is not None:
+                from diagan_tpu.parallel import make_sharded_train_chunk
+
+                self._chunks[size] = make_sharded_train_chunk(
+                    self.fused_step, size, self.mesh
+                )
+            else:
+                self._chunks[size] = make_train_chunk(self.fused_step, size)
         return self._chunks[size]
 
     def _next_boundary(self, step):
@@ -352,11 +404,13 @@ class LogTrainer:
             for ls in range(first_log, chunk_end + 1, self.log_steps):
                 row = {k: float(v[ls - chunk_start - 1])
                        for k, v in stacked.items()}
-                row["lr_D"] = float(self._lr_sched(ls))
+                for name, sched in self._lr_scheds:
+                    row[name] = float(sched(ls))
                 self.logger.write_scalars(ls, row)
             if chunk_end % self.print_steps == 0:
                 last = {k: float(v[-1]) for k, v in stacked.items()}
-                last["lr_D"] = float(self._lr_sched(chunk_end))
+                for name, sched in self._lr_scheds:
+                    last[name] = float(sched(chunk_end))
                 now = time.time()
                 self.logger.print_log(
                     chunk_end, self.num_steps, last,

@@ -69,6 +69,74 @@ def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
         np.testing.assert_array_equal(arr, per_dev[0])
 
 
+def test_sharded_logit_sweep_matches_single_device(tmp_path, mesh):
+    from diagan_tpu.train.logit_recorder import LogitRecorder
+
+    ds = get_predefined_dataset(
+        "color_mnist", tmp_path, major_ratio=0.9, num_data=50, seed=0
+    )
+    bundle = get_gan_model("color_mnist", loss_type="ns")
+    k = jax.random.key(3)
+    x0 = jnp.zeros((2, 32, 32, 3))
+    variables = bundle.disc.init(
+        {"params": k, "dropout": k}, x0, update_stats=False, train=False
+    )
+    params = variables["params"]
+    state = {c: v for c, v in variables.items() if c != "params"}
+
+    def fwd(p, s, batch, rng):
+        out = bundle.disc.apply(
+            {"params": p, **s}, batch, update_stats=False, train=False,
+            rngs={"dropout": rng},
+        )
+        return out, s
+
+    src = DeviceDataSource(ds)
+    # odd batch size -> ragged tail + mesh padding both exercised
+    rec_single = LogitRecorder(len(ds), 2, batch_size=16)
+    rec_shard = LogitRecorder(len(ds), 2, batch_size=16, mesh=mesh)
+    for rec in (rec_single, rec_shard):
+        rec.record(fwd, params, state, src.images, 7,
+                   key=jax.random.key(9))
+    single = rec_single.as_dict()[7]
+    shard = rec_shard.as_dict()[7]
+    np.testing.assert_array_equal(single, shard)
+
+
+@pytest.mark.slow
+def test_data_parallel_cli_end_to_end(tmp_path, mesh, monkeypatch):
+    """Drive the phase-1 Colored-MNIST CLI with --data_parallel: params must
+    stay bit-identical across replicas and all artifacts must appear."""
+    import pickle
+    import sys
+
+    from diagan_tpu.cli import mnist_scripts
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_mimicry_color_mnist_phase1.py",
+        "--data_parallel",
+        "--num_steps", "8", "--num_data", "64", "--batch_size", "8",
+        "--logit_save_steps", "4", "--major_ratio", "0.9",
+        "--root", str(tmp_path / "data"),
+        "--work_dir", str(tmp_path / "exp"), "--exp_name", "dp",
+    ])
+    trainer = mnist_scripts.phase1("color_mnist", str(tmp_path / "data"), "dp")
+    assert trainer.mesh is not None and trainer.n_devices == 8
+    assert int(trainer.global_step) == 8
+    # replicated params bit-identical across all 8 devices
+    for leaf in jax.tree.leaves(trainer.g_state.params)[:3]:
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        assert len(shards) == 8
+        for arr in shards[1:]:
+            np.testing.assert_array_equal(arr, shards[0])
+    # logit pickle in the reference format (train-mode for this script)
+    out = tmp_path / "exp" / "dp"
+    logits = pickle.load(open(out / "logits_netD_train.pkl", "rb"))
+    assert logits[8].shape == (64,)
+    assert np.isfinite(logits[8]).all()
+    assert (out / "checkpoints/netG/netG_8_steps.pth").is_file()
+
+
 @pytest.mark.slow
 def test_graft_dryrun_multichip(mesh):
     # The driver's multi-chip gate: must run in-process on the 8-device

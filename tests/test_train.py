@@ -263,7 +263,9 @@ def test_pipelined_logging_writes_every_log_step(tmp_path, tiny_dataset):
     rows = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
     steps = [r["step"] for r in rows]
     assert steps == list(range(2, 13, 2)), steps
-    assert all("errD" in r and "lr_D" in r for r in rows)
+    # reference scalar names: lr_{idx} per optimizer (scheduler.py:104);
+    # this trainer has optD + optG (no drs) -> lr_0, lr_1
+    assert all("errD" in r and "lr_0" in r and "lr_1" in r for r in rows)
 
 
 def test_simultaneous_g_matches_sequential_d_update():

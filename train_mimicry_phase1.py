@@ -82,13 +82,14 @@ def main():
     else:
         netG_ckpt_file = netD_ckpt_file = None
 
-    from diagan_tpu.cli.common import step_fusions_from_args
+    from diagan_tpu.cli.common import mesh_from_args, step_fusions_from_args
 
     trainer = LogTrainer(
         output_path=save_path,
         bundle=bundle,
         dataset=ds_train,
         step_fusions=step_fusions_from_args(args),
+        mesh=mesh_from_args(args),
         num_steps=args.num_steps,
         n_dis=args.n_dis,
         lr_decay=args.decay,

@@ -88,13 +88,14 @@ def main():
         )
     print(args)
 
-    from diagan_tpu.cli.common import step_fusions_from_args
+    from diagan_tpu.cli.common import mesh_from_args, step_fusions_from_args
 
     trainer = LogTrainer(
         output_path=save_path,
         bundle=bundle,
         dataset=ds_train,
         step_fusions=step_fusions_from_args(args),
+        mesh=mesh_from_args(args),
         sample_weights=sample_weights,
         dataset_drs=ds_train,
         num_steps=args.num_steps,
