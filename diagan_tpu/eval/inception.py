@@ -41,8 +41,14 @@ class ConvBN(nn.Module):
 
 
 def _pool(x, window, strides, padding="VALID", kind="max"):
-    fn = nn.max_pool if kind == "max" else nn.avg_pool
-    return fn(x, window, strides=strides, padding=padding)
+    if kind == "max":
+        return nn.max_pool(x, window, strides=strides, padding=padding)
+    # FID-Inception patch: TF's average pool excludes the padded zeros
+    # from the mean (reference diagan-pkg/diagan/models/inception.py:222-223,
+    # the pytorch-fid `count_include_pad=False` patch) — required for
+    # activation parity with the pt_inception FID weights
+    return nn.avg_pool(x, window, strides=strides, padding=padding,
+                       count_include_pad=False)
 
 
 class InceptionA(nn.Module):
@@ -106,6 +112,12 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # The FID Inception's second E block (Mixed_7c) max-pools its pool
+    # branch where every other Inception uses avg — a quirk of the TF FID
+    # graph the pt_inception weights were trained with (reference
+    # diagan-pkg/diagan/models/inception.py:314-318, FIDInceptionE_2)
+    pool_kind: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = ConvBN(320, (1, 1))(x)
@@ -118,7 +130,8 @@ class InceptionE(nn.Module):
         bda = ConvBN(384, (1, 3), padding=((0, 0), (1, 1)))(bd)
         bdb = ConvBN(384, (3, 1), padding=((1, 1), (0, 0)))(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _pool(x, (3, 3), (1, 1), padding=((1, 1), (1, 1)), kind="avg")
+        bp = _pool(x, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                   kind=self.pool_kind)
         bp = ConvBN(192, (1, 1))(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -146,7 +159,7 @@ class InceptionV3(nn.Module):
         x = InceptionC(192)(x)
         x = InceptionD()(x)
         x = InceptionE()(x)
-        x = InceptionE()(x)
+        x = InceptionE(pool_kind="max")(x)
         pool3 = jnp.mean(x, axis=(1, 2))  # global average pool -> 2048
         logits = nn.Dense(self.num_classes)(pool3)
         return pool3, logits
