@@ -44,7 +44,61 @@ def build_parser():
     # shrink sample counts for smoke/validation runs
     parser.add_argument("--num_real_samples", default=10000, type=int)
     parser.add_argument("--num_fake_samples", default=10000, type=int)
+    # additive: the reference ships attr-sliced FID as a library function
+    # (diagan-pkg/diagan/trainer/compute_fid_with_attr.py:173) with no CLI
+    # driver; here it rides the same script as partial recall
+    parser.add_argument("--metric", default="partial_recall",
+                        choices=["partial_recall", "fid", "all"])
     return parser
+
+
+def _attr_fid(args, ds, featurizer, fake_feats, attr_idx, not_attr_idx,
+              save_path, num_real, use_drs):
+    """Attr-sliced FID (reference compute_fid_with_attr.py:44-80,173-301):
+    one fake stat set, two Frechet distances against the attr-positive and
+    attr-negative real stats; real stats cached in the reference npz layout
+    (keys attr_mu/attr_sigma/not_attr_mu/not_attr_sigma,
+    fid_stats_{name}_{dataset}_{attr}_run_{seed}.npz)."""
+    stats_dir = save_path / "metrics" / "fid" / "statistics"
+    stats_dir.mkdir(parents=True, exist_ok=True)
+    stats_file = stats_dir / (
+        f"fid_stats_{args.model}_{args.dataset}_{args.attr}_run_{args.seed}.npz"
+    )
+    if stats_file.is_file():
+        print("INFO: Loading existing statistics for real images...")
+        f = np.load(stats_file)
+        stats = {k: f[k][:] for k in
+                 ("attr_mu", "attr_sigma", "not_attr_mu", "not_attr_sigma")}
+        f.close()
+    else:
+        rng = np.random.default_rng(args.seed)
+        stats = {}
+        for name, idx in (("attr", attr_idx), ("not_attr", not_attr_idx)):
+            # reference uses every subset image (get_dataset_images_with_attr);
+            # --num_real_samples caps it for smoke runs
+            sel = idx if len(idx) <= num_real else rng.choice(idx, num_real,
+                                                              False)
+            mu, sigma = M.activation_statistics(featurizer.features(ds.images[sel]))
+            stats[f"{name}_mu"], stats[f"{name}_sigma"] = mu, sigma
+        np.savez(stats_file, **stats)
+
+    mu_fake, sigma_fake = M.activation_statistics(fake_feats)
+    out = {}
+    for name in ("attr", "not_attr"):
+        out[name] = float(M.frechet_distance(
+            stats[f"{name}_mu"], stats[f"{name}_sigma"], mu_fake, sigma_fake
+        ))
+        print(f"INFO: FID with {'' if name == 'attr' else 'not '}attribute: "
+              f"{out[name]}")
+
+    out_dir = save_path / "evaluate" / f"step-{args.netG_ckpt_step}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tag = "drs_" if use_drs else ""
+    out["inception_weights"] = featurizer.weights_kind
+    (out_dir / f"fid_{tag}{args.attr}.json").write_text(
+        json.dumps(out, indent=2)
+    )
+    return out
 
 
 def run(args, use_drs=False, use_original_netD=False, num_fake=None,
@@ -84,22 +138,29 @@ def run(args, use_drs=False, use_original_netD=False, num_fake=None,
     featurizer = InceptionFeaturizer(batch_size=args.batch_size)
     fakes = sampler.generate_images(num_fake)
     fake_feats = featurizer.features(M.normalize_images(fakes))
+    metric = getattr(args, "metric", "partial_recall")
 
-    rng = np.random.default_rng(args.seed)
     out = {}
-    for name, idx in (("attr", attr_idx), ("not_attr", not_attr_idx)):
-        sel = idx if len(idx) <= num_real else rng.choice(idx, num_real, False)
-        feats = featurizer.features(ds.images[sel])
-        out[name] = M.compute_partial_recall(feats, fake_feats, nearest_k=3)
-        print(f"INFO ({'with' if name == 'attr' else 'without'} attr): "
-              f"partial_recall (step {args.netG_ckpt_step}): {out[name]}")
+    if metric in ("partial_recall", "all"):
+        rng = np.random.default_rng(args.seed)
+        for name, idx in (("attr", attr_idx), ("not_attr", not_attr_idx)):
+            sel = idx if len(idx) <= num_real else rng.choice(idx, num_real,
+                                                              False)
+            feats = featurizer.features(ds.images[sel])
+            out[name] = M.compute_partial_recall(feats, fake_feats, nearest_k=3)
+            print(f"INFO ({'with' if name == 'attr' else 'without'} attr): "
+                  f"partial_recall (step {args.netG_ckpt_step}): {out[name]}")
 
-    out_dir = save_path / "evaluate" / f"step-{args.netG_ckpt_step}"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    tag = "drs_" if use_drs else ""
-    out_file = out_dir / f"partial_recall_{tag}{args.attr}.json"
-    out["inception_weights"] = featurizer.weights_kind
-    out_file.write_text(json.dumps(out, indent=2))
+        out_dir = save_path / "evaluate" / f"step-{args.netG_ckpt_step}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        tag = "drs_" if use_drs else ""
+        out_file = out_dir / f"partial_recall_{tag}{args.attr}.json"
+        out["inception_weights"] = featurizer.weights_kind
+        out_file.write_text(json.dumps(out, indent=2))
+
+    if metric in ("fid", "all"):
+        out["fid"] = _attr_fid(args, ds, featurizer, fake_feats, attr_idx,
+                               not_attr_idx, save_path, num_real, use_drs)
     return out
 
 

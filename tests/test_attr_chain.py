@@ -95,13 +95,13 @@ def test_attr_tooling_chain(celeba_root, tmp_path):
     res = json.loads((exp_dir / "count_attr_Male.json").read_text())
     assert res["total"] == 32 and 0.0 <= res["fraction"] <= 1.0
 
-    # attribute-sliced partial recall
+    # attribute-sliced partial recall + attr-sliced FID
     _run(
         ["eval_gan_celeba_with_attr.py", "--root", str(celeba_root),
          "--work_dir", str(work), "--exp_name", exp, "--model", "sngan",
          "--loss_type", "hinge", "--netG_ckpt_step", "4", "--attr", "Male",
          "--batch_size", "16", "--num_real_samples", "48",
-         "--num_fake_samples", "32"],
+         "--num_fake_samples", "32", "--metric", "all"],
         cwd=ROOT, timeout=1200,
     )
     pr = json.loads(
@@ -109,3 +109,60 @@ def test_attr_tooling_chain(celeba_root, tmp_path):
         .read_text()
     )
     assert "attr" in pr and "not_attr" in pr
+    fid = json.loads(
+        (exp_dir / "evaluate" / "step-4" / "fid_Male.json").read_text()
+    )
+    assert fid["attr"] > 0 and fid["not_attr"] > 0
+    # real stats cached in the reference npz layout (compute_fid_with_attr
+    # .py:50-80)
+    stats = (exp_dir / "metrics" / "fid" / "statistics"
+             / "fid_stats_sngan_celeba_Male_run_1.npz")
+    assert stats.is_file()
+    f = np.load(stats)
+    assert set(f.files) == {"attr_mu", "attr_sigma", "not_attr_mu",
+                            "not_attr_sigma"}
+
+
+def test_attr_fid_stats_cache_and_scores(tmp_path):
+    """Unit: _attr_fid computes two FIDs from one fake stat set and caches
+    real stats in the reference npz layout — stubbed featurizer, no GAN."""
+    import types
+
+    from eval_gan_celeba_with_attr import _attr_fid
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (40, 8, 8, 3), dtype=np.uint8)
+    ds = types.SimpleNamespace(images=images)
+
+    class StubFeat:
+        weights_kind = "stub"
+
+        def features(self, x):
+            x = np.asarray(x, np.float64)
+            n = x.shape[0]
+            flat = x.reshape(n, -1)
+            return np.stack([flat.mean(1), flat.std(1), flat.max(1),
+                             flat.min(1)], 1)
+
+    args = types.SimpleNamespace(model="sngan", dataset="celeba", attr="Male",
+                                 seed=1, netG_ckpt_step=4)
+    fake_feats = StubFeat().features(
+        rng.integers(0, 255, (24, 8, 8, 3), dtype=np.uint8))
+    attr_idx = np.arange(0, 20)
+    not_attr_idx = np.arange(20, 40)
+
+    out = _attr_fid(args, ds, StubFeat(), fake_feats, attr_idx, not_attr_idx,
+                    tmp_path, num_real=64, use_drs=False)
+    assert out["attr"] >= 0 and out["not_attr"] >= 0
+    stats = (tmp_path / "metrics" / "fid" / "statistics"
+             / "fid_stats_sngan_celeba_Male_run_1.npz")
+    assert stats.is_file()
+    saved = dict(np.load(stats))
+    # second call hits the cache (corrupt the images to prove it's unused)
+    ds2 = types.SimpleNamespace(images=np.zeros_like(images))
+    out2 = _attr_fid(args, ds2, StubFeat(), fake_feats, attr_idx,
+                     not_attr_idx, tmp_path, num_real=64, use_drs=True)
+    assert out2["attr"] == pytest.approx(out["attr"])
+    assert (tmp_path / "evaluate" / "step-4" / "fid_drs_Male.json").is_file()
+    np.testing.assert_array_equal(
+        saved["attr_mu"], np.load(stats)["attr_mu"])
