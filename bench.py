@@ -16,6 +16,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -24,16 +25,24 @@ import numpy as np
 
 BASELINE_STEPS_PER_SEC_A100 = 8.0
 
+# bf16 peak TFLOP/s per chip by device_kind, for the MFU line (public specs;
+# the bench path is fp32, so MFU against the bf16 peak is conservative)
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v4": 275.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0,
+}
+
 
 def main():
     # The shared TPU worker can crash transiently (see
     # .claude/skills/verify/SKILL.md); one retry after a cooldown keeps a
-    # transient crash from zeroing out the round's benchmark.
+    # transient crash from zeroing out the round's benchmark — but only for
+    # device/transport errors; deterministic failures re-raise immediately.
     try:
         _run()
-    except Exception as e:  # noqa: BLE001 - any device/transport error
+    except jax.errors.JaxRuntimeError as e:
         print(f"WARN: bench attempt failed ({type(e).__name__}: {e}); "
-              "retrying in 90s", flush=True, file=__import__("sys").stderr)
+              "retrying in 90s", flush=True, file=sys.stderr)
         time.sleep(90)
         _run()
 
@@ -94,12 +103,35 @@ def _run():
     dt = time.perf_counter() - t0
     steps_per_sec = n_chunks * CHUNK / dt
 
-    print(json.dumps({
+    out = {
         "metric": "sngan_cifar10_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec (1 step = 5 D upd + 1 G upd, batch 64)",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_A100, 2),
-    }))
+    }
+
+    # MFU from XLA's own cost analysis of the compiled chunk — an absolute
+    # utilization figure that doesn't hinge on the estimated A100 constant
+    # (derivation recorded in BASELINE.md).
+    try:
+        ca = chunk.lower(
+            g_state, d_state, None, src.images, src.images, None,
+            jax.random.fold_in(k, 0), jnp.int32(0),
+        ).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca["flops"]) / CHUNK
+        kind = jax.devices()[0].device_kind
+        peak = PEAK_TFLOPS.get(kind)
+        out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOP
+        if peak:
+            out["mfu_pct"] = round(
+                100.0 * steps_per_sec * flops_per_step / (peak * 1e12), 2
+            )
+    except Exception as e:  # cost analysis is best-effort, never fail bench
+        print(f"WARN: no cost analysis ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

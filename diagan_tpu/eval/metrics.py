@@ -17,6 +17,7 @@ Parity targets:
 """
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 
 import jax
@@ -54,7 +55,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))  # may be non-finite if singular
+    with warnings.catch_warnings():
+        # singular products raise LinAlgWarning under scipy>=1.17; the
+        # isfinite check below already handles that case via eps-jitter
+        warnings.simplefilter("ignore")
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))  # non-finite if singular
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
