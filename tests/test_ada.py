@@ -38,6 +38,7 @@ def test_flip_rate_is_half_p():
     assert abs(rate - p / 2) < 0.01
 
 
+@pytest.mark.slow
 def test_rotation_rate_is_p_rot():
     # with flips/90-rotations/translations off, continuous rotation shows as
     # off-diagonal structure; each of pre/post fires at p_rot = 1-sqrt(1-p)
@@ -86,6 +87,7 @@ def test_integer_translation_lands_on_pixel_grid():
     # identity — covered by the shared-scalar test below instead.
 
 
+@pytest.mark.slow
 def test_translations_share_one_scalar():
     # both the integer and fractional translate use ONE scalar for x and y
     # (non_leaking.py:205-208,239-241). With p=1 ONLY for translations this

@@ -131,6 +131,7 @@ def test_normalize_images_minmax():
     assert out.min() == 0 and out.max() == 255
 
 
+@pytest.mark.slow
 def test_cae_protocol_end_to_end(tmp_path):
     from diagan_tpu.models.cae import CAE32
 

@@ -57,6 +57,7 @@ def _get(tree, path):
     return tree
 
 
+@pytest.mark.slow
 def test_converter_roundtrip(tmp_path):
     model = InceptionV3()
     sd, conv_paths = _fabricate_state_dict(model)
@@ -91,6 +92,7 @@ def test_converter_rejects_wrong_count(tmp_path):
         load_torch_weights(model, str(f))
 
 
+@pytest.mark.slow
 def test_featurizer_scan_matches_per_batch_fwd():
     """The slabbed scan path returns the same features as per-batch _fwd
     calls, including padding of the ragged tail and uint8 device-side

@@ -146,6 +146,7 @@ def test_ssgan_smoke(tmp_path, tiny_dataset):
     assert tr.global_step == 2
 
 
+@pytest.mark.slow
 def test_sngan_bf16_compute_matches_fp32():
     """--bf16 on the SNGAN family: params stay fp32 with an identical tree,
     G output returns fp32 and tracks the fp32 model on the same params,
@@ -268,6 +269,7 @@ def test_pipelined_logging_writes_every_log_step(tmp_path, tiny_dataset):
     assert all("errD" in r and "lr_0" in r and "lr_1" in r for r in rows)
 
 
+@pytest.mark.slow
 def test_simultaneous_g_matches_sequential_d_update():
     """cfg.simultaneous_g merges the last D update and the G update. The
     D side must be bit-equivalent to the sequential path: same keys ->

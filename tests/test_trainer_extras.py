@@ -55,6 +55,7 @@ def mnist_run(tmp_path_factory):
     return root, out, ds, bundle
 
 
+@pytest.mark.slow
 def test_evaluate_checkpoint_fid_with_drs(mnist_run, tmp_path):
     from diagan_tpu.eval.evaluate import evaluate_checkpoint
     from diagan_tpu.eval.inception import InceptionFeaturizer
@@ -77,6 +78,7 @@ def test_evaluate_checkpoint_fid_with_drs(mnist_run, tmp_path):
     assert json.loads(f.read_text())["use_drs"] is True
 
 
+@pytest.mark.slow
 def test_evaluate_checkpoint_pr_and_is(mnist_run):
     from diagan_tpu.eval.evaluate import evaluate_checkpoint
     from diagan_tpu.eval.inception import InceptionFeaturizer
