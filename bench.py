@@ -38,9 +38,11 @@ def main():
     # .claude/skills/verify/SKILL.md); one retry after a cooldown keeps a
     # transient crash from zeroing out the round's benchmark — but only for
     # device/transport errors; deterministic failures re-raise immediately.
+    # RuntimeError covers backend-initialization failure (the startup form
+    # of a worker crash, raised by xla_bridge as a plain RuntimeError)
     try:
         _run()
-    except jax.errors.JaxRuntimeError as e:
+    except (jax.errors.JaxRuntimeError, RuntimeError) as e:
         print(f"WARN: bench attempt failed ({type(e).__name__}: {e}); "
               "retrying in 90s", flush=True, file=sys.stderr)
         time.sleep(90)

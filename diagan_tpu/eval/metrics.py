@@ -57,8 +57,9 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     diff = mu1 - mu2
     with warnings.catch_warnings():
         # singular products raise LinAlgWarning under scipy>=1.17; the
-        # isfinite check below already handles that case via eps-jitter
-        warnings.simplefilter("ignore")
+        # isfinite check below already handles that case via eps-jitter.
+        # Only that category — other warnings (overflow etc.) stay visible.
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
         covmean = linalg.sqrtm(sigma1.dot(sigma2))  # non-finite if singular
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps

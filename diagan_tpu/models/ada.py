@@ -266,10 +266,9 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75):
     pad_k = (len(SYM6) + 1) // 2    # 6
     P = min(h - 1, int(pad_frac * h) + pad_k)  # static reflect pad (doc above)
     xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
-    S = h + 2 * P
 
-    # 2x upsample with the flipped kernel; pad (6,5) makes the output
-    # exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
+    # 2x upsample with the flipped kernel; with S = h + 2P, pad (6,5) makes
+    # the output exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
     x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
     x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
 

@@ -65,6 +65,22 @@ def make_sharded_train_chunk(fused_step, chunk_size: int, mesh: Mesh,
         # stylegan2/distributed.py:104-126): losses are device-local (each
         # replica saw its own batch shard), so average them over the mesh
         metrics = jax.lax.pmean(metrics, axis)
+        # Mutable collections (BatchNorm running stats) integrate
+        # device-local batches and DIVERGE across replicas; out_specs=P()
+        # below asserts replication, and the logit sweep / eval forwards
+        # read these stats, so resync them once per chunk. Params stay
+        # bitwise-replicated through pmean'd grads and need nothing;
+        # spectral-norm u vectors are functions of replicated params, so
+        # the pmean is an identity for them. (The reference's DDP never
+        # syncs BN stats and silently checkpoints rank-0's — this is the
+        # deterministic fix, restoring bitwise resume under a mesh.)
+        def sync_state(s):
+            return s.replace(state=jax.lax.pmean(s.state, axis)) \
+                if s is not None else None
+
+        g_state = sync_state(g_state)
+        d_state = sync_state(d_state)
+        d_drs_state = sync_state(d_drs_state)
         return g_state, d_state, d_drs_state, metrics
 
     repl = P()

@@ -61,8 +61,15 @@ def _attr_fid(args, ds, featurizer, fake_feats, attr_idx, not_attr_idx,
     fid_stats_{name}_{dataset}_{attr}_run_{seed}.npz)."""
     stats_dir = save_path / "metrics" / "fid" / "statistics"
     stats_dir.mkdir(parents=True, exist_ok=True)
+    # the reference layout has no sample-count component because it always
+    # uses EVERY subset image; when --num_real_samples caps a subset the
+    # stats are not the canonical ones, so key the cache by the cap to keep
+    # a smoke run from poisoning a later full evaluation
+    capped = num_real < max(len(attr_idx), len(not_attr_idx))
+    cap_tag = f"_cap{num_real}" if capped else ""
     stats_file = stats_dir / (
-        f"fid_stats_{args.model}_{args.dataset}_{args.attr}_run_{args.seed}.npz"
+        f"fid_stats_{args.model}_{args.dataset}_{args.attr}{cap_tag}"
+        f"_run_{args.seed}.npz"
     )
     if stats_file.is_file():
         print("INFO: Loading existing statistics for real images...")

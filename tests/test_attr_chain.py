@@ -114,9 +114,10 @@ def test_attr_tooling_chain(celeba_root, tmp_path):
     )
     assert fid["attr"] > 0 and fid["not_attr"] > 0
     # real stats cached in the reference npz layout (compute_fid_with_attr
-    # .py:50-80)
+    # .py:50-80); the 48-sample cap keys the cache so it can't poison a
+    # full evaluation
     stats = (exp_dir / "metrics" / "fid" / "statistics"
-             / "fid_stats_sngan_celeba_Male_run_1.npz")
+             / "fid_stats_sngan_celeba_Male_cap48_run_1.npz")
     assert stats.is_file()
     f = np.load(stats)
     assert set(f.files) == {"attr_mu", "attr_sigma", "not_attr_mu",

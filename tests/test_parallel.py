@@ -62,11 +62,17 @@ def test_sharded_chunk_runs_and_stays_replicated(tmp_path, mesh):
     assert metrics["errD"].shape == (2,)
     assert np.isfinite(np.asarray(metrics["errD"])).all()
     assert np.isfinite(np.asarray(metrics["errG"])).all()
-    # params must remain identical across replicas (pmean'd grads)
-    leaf = jax.tree.leaves(g.params)[0]
-    per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
-    for arr in per_dev[1:]:
-        np.testing.assert_array_equal(arr, per_dev[0])
+    # params must remain identical across replicas (pmean'd grads), and so
+    # must the mutable collections: BatchNorm running stats integrate
+    # device-local batches and would silently diverge without the chunk-end
+    # pmean resync (out_specs=P() asserts replication; the logit sweep and
+    # checkpoint/resume read these stats)
+    for net in (g, d, dd):
+        for leaf in jax.tree.leaves(net.params)[:2] + jax.tree.leaves(net.state):
+            per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
+            assert len(per_dev) == 8
+            for arr in per_dev[1:]:
+                np.testing.assert_array_equal(arr, per_dev[0])
 
 
 def test_sharded_logit_sweep_matches_single_device(tmp_path, mesh):
