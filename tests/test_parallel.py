@@ -110,6 +110,50 @@ def test_sharded_logit_sweep_matches_single_device(tmp_path, mesh):
 
 
 @pytest.mark.slow
+def test_data_parallel_resume_is_bitwise_deterministic(tmp_path, mesh):
+    """Mesh variant of the single-device resume-determinism pin: an 8-step
+    straight data-parallel run and a 4-step run resumed from its step-4
+    checkpoint end bit-identical. Regression for the BatchNorm running-stat
+    divergence: without the chunk-end state pmean, the checkpoint captured
+    device-0 stats while replicas held different ones, so a resumed run
+    (all replicas re-seeded from the checkpoint) diverged from the
+    uninterrupted one."""
+    from diagan_tpu.train.trainer import LogTrainer
+
+    ds = get_predefined_dataset(
+        "color_mnist", tmp_path / "data", major_ratio=0.9, num_data=64, seed=0
+    )
+
+    def make(out, **kw):
+        bundle = get_gan_model("color_mnist", loss_type="ns")
+        return LogTrainer(
+            output_path=out, bundle=bundle, dataset=ds, mesh=mesh,
+            num_steps=8, n_dis=1, lr_decay="linear", batch_size=8,
+            print_steps=4, vis_steps=8, log_steps=4, save_steps=4,
+            save_logits=False, seed=0, **kw,
+        )
+
+    tr_a = make(tmp_path / "straight")
+    tr_a.train()
+    tr_c = make(
+        tmp_path / "resumed",
+        netG_ckpt_file=str(
+            tmp_path / "straight/checkpoints/netG/netG_4_steps.pth"),
+        netD_ckpt_file=str(
+            tmp_path / "straight/checkpoints/netD/netD_4_steps.pth"),
+    )
+    assert tr_c.global_step == 4
+    tr_c.train()
+    for name, a, c in (("G", tr_a.g_state, tr_c.g_state),
+                       ("D", tr_a.d_state, tr_c.d_state)):
+        for pa, pc in zip(jax.tree.leaves((a.params, a.state)),
+                          jax.tree.leaves((c.params, c.state))):
+            np.testing.assert_array_equal(
+                np.asarray(pa), np.asarray(pc),
+                err_msg=f"{name} diverged after mesh resume")
+
+
+@pytest.mark.slow
 def test_data_parallel_cli_end_to_end(tmp_path, mesh, monkeypatch):
     """Drive the phase-1 Colored-MNIST CLI with --data_parallel: params must
     stay bit-identical across replicas and all artifacts must appear."""
