@@ -194,11 +194,18 @@ class StyleGAN2Trainer:
         else:
             self.d_drs_state = None
 
+        # augment_p semantics (reference train_ffhq.py:27,127): None ->
+        # augmentation statically OFF (no augment ops in any program, as
+        # when the reference's --augment flag is absent); 0 -> adaptive
+        # ADA; >0 -> fixed p. The static gate matters on TPU: at traced
+        # p=0 the transforms are identities but the antialiased resample
+        # still executes, so a no-ADA run must compile augment OUT.
+        self.use_augment = augment_p is not None
         self.ada = AdaptiveAugment(ada_target, ada_length) \
-            if augment_p == 0 else None
+            if self.use_augment and augment_p == 0 else None
         # argparse can deliver an int literal 0 here; the augment pipeline
         # (jax.random.bernoulli) requires a float probability
-        self.ada_aug_p = float(augment_p)
+        self.ada_aug_p = float(augment_p) if self.use_augment else 0.0
         self.logit_results = {}
         self._build_steps()
 
@@ -283,8 +290,11 @@ class StyleGAN2Trainer:
                 else:
                     real, _ = draw_batch(kdata, weighted, images)
                 fake = jax.lax.stop_gradient(fakes(g_params, kfake))
-                real_a = augment(real, kaug1, ada_p)
-                fake_a = augment(fake, kaug2, ada_p)
+                if self.use_augment:
+                    real_a = augment(real, kaug1, ada_p)
+                    fake_a = augment(fake, kaug2, ada_p)
+                else:
+                    real_a, fake_a = real, fake
 
                 def loss_fn(p):
                     rp = self._disc_apply(disc, p, real_a)
@@ -313,7 +323,8 @@ class StyleGAN2Trainer:
                     real = real_u8.astype(jnp.float32) / 127.5 - 1.0
                 else:
                     real, _ = draw_batch(kdata, weighted, images)
-                real = augment(real, kaug, ada_p)
+                if self.use_augment:
+                    real = augment(real, kaug, ada_p)
 
                 def r1_fn(p):
                     def score(x):
@@ -344,11 +355,18 @@ class StyleGAN2Trainer:
             if self.drs_disc is not None else None
         )
 
-        def g_step(g_state, g_ema, d_params, key):
+        def g_step(g_state, g_ema, d_params, key, ada_p):
             key = self._maybe_fold(key)
+            kfake, kaug = jax.random.split(key)
 
             def loss_fn(p):
-                fake = fakes(p, key)
+                fake = fakes(p, kfake)
+                # the reference augments the fake before D scores it
+                # (train_ffhq.py:265-266) — the generator gradient flows
+                # THROUGH the augmentation; skipping it would let G train
+                # against a D input distribution D itself never sees
+                if self.use_augment:
+                    fake = augment(fake, kaug, ada_p)
                 fp = self._disc_apply(self.disc, d_params, fake)
                 return L.g_nonsaturating_loss(fp)
 
@@ -409,7 +427,8 @@ class StyleGAN2Trainer:
                 (d_state, d_drs_state),
             )
 
-            g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg)
+            g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg,
+                                        ada_p)
 
             def with_path(args):
                 g, ema, plm = args
@@ -602,6 +621,7 @@ class StyleGAN2Trainer:
                 r1v = 0.0
             self.g_state, self.g_ema, gm = self._uf["g"](
                 self.g_state, self.g_ema, self.d_state.params, kg,
+                self.ada_aug_p,
             )
             if gstep % self.g_reg_every == 0:
                 self.g_state, self.g_ema, self.pl_mean, pm = self._uf["path"](
@@ -868,10 +888,7 @@ class StyleGAN2Trainer:
                     for v in signs:
                         self.ada_aug_p = self.ada.tune(float(v),
                                                        self.batch_size)
-                metrics = {
-                    k: float(np.asarray(v)[-1]) for k, v in ms.items()
-                    if k != "sign_real"
-                }
+                metrics = self._chunk_metrics(ms)
                 self._after_chunk(step, metrics)
                 continue
             if n not in self._plain_chunks:
@@ -902,10 +919,7 @@ class StyleGAN2Trainer:
                     # non_leaking.py:20-43)
                     self.ada_aug_p = self.ada.tune(
                         float(v), self.batch_size * self._mesh_n)
-            metrics = {
-                k: float(np.asarray(v)[-1]) for k, v in ms.items()
-                if k != "sign_real"
-            }
+            metrics = self._chunk_metrics(ms)
             step += n
             self._loop_step = step
             self._after_chunk(step, metrics)
@@ -915,6 +929,25 @@ class StyleGAN2Trainer:
             self._save_ckpt(step)
         else:
             self._save_ckpt(self.num_steps)
+
+    def _chunk_metrics(self, ms):
+        """Printable scalars from a chunk's stacked metrics: last step's
+        value, except the lazy regularizers (r1/path), which are zero on
+        non-reg steps — for those, report the last REG step's value inside
+        the chunk (the chunk boundary is never itself a reg step when
+        log_every isn't a multiple of d_reg_every, so taking [-1] printed a
+        misleading constant 0)."""
+        out = {}
+        for k, v in ms.items():
+            if k == "sign_real":
+                continue
+            arr = np.asarray(v)
+            if k in ("r1", "path"):
+                nz = arr[arr != 0.0]
+                out[k] = float(nz[-1]) if nz.size else 0.0
+            else:
+                out[k] = float(arr[-1])
+        return out
 
     def _after_chunk(self, step, metrics):
         if step % self.log_every == 0:

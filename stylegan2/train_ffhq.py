@@ -124,7 +124,9 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         g_reg_every=args.g_reg_every,
         path_batch_shrink=args.path_batch_shrink,
         mixing=args.mixing,
-        augment_p=args.augment_p if args.augment else 1e9,
+        # None -> augmentation statically compiled out (reference --augment
+        # absent); 0 -> adaptive ADA; >0 -> fixed p
+        augment_p=args.augment_p if args.augment else None,
         ada_target=args.ada_target,
         ada_length=args.ada_length,
         logit_save_steps=args.logit_save_steps,
@@ -134,12 +136,6 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         stream_data=True if args.stream_data else None,
         fuse_steps=not getattr(args, "no_fuse", False),
     )
-    if not args.augment:
-        trainer.ada = None
-        trainer.ada_aug_p = 0.0
-    elif args.augment_p > 0:
-        trainer.ada = None
-        trainer.ada_aug_p = args.augment_p
     start = 0
     if args.ckpt:
         start = trainer.load_ckpt(args.ckpt)
