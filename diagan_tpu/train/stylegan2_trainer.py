@@ -72,6 +72,10 @@ class StyleGAN2Trainer:
         augment_p=0.0,  # 0 -> adaptive ADA
         ada_target=0.6,
         ada_length=500_000,
+        ada_pad_frac=0.75,  # static ADA reflect pad (models/ada.py): 0.75
+        # covers the full transform distribution; smaller trades far-tail
+        # edge clamping for step time (the augment backward scales with
+        # (1+2*pad_frac)^2 — docs/ROADMAP.md 3b)
         save_every=5000,
         log_every=100,
         logit_save_steps=None,
@@ -201,6 +205,7 @@ class StyleGAN2Trainer:
         # p=0 the transforms are identities but the antialiased resample
         # still executes, so a no-ADA run must compile augment OUT.
         self.use_augment = augment_p is not None
+        self.ada_pad_frac = float(ada_pad_frac)
         self.ada = AdaptiveAugment(ada_target, ada_length) \
             if self.use_augment and augment_p == 0 else None
         # argparse can deliver an int literal 0 here; the augment pipeline
@@ -291,8 +296,10 @@ class StyleGAN2Trainer:
                     real, _ = draw_batch(kdata, weighted, images)
                 fake = jax.lax.stop_gradient(fakes(g_params, kfake))
                 if self.use_augment:
-                    real_a = augment(real, kaug1, ada_p)
-                    fake_a = augment(fake, kaug2, ada_p)
+                    real_a = augment(real, kaug1, ada_p,
+                                     pad_frac=self.ada_pad_frac)
+                    fake_a = augment(fake, kaug2, ada_p,
+                                     pad_frac=self.ada_pad_frac)
                 else:
                     real_a, fake_a = real, fake
 
@@ -324,7 +331,8 @@ class StyleGAN2Trainer:
                 else:
                     real, _ = draw_batch(kdata, weighted, images)
                 if self.use_augment:
-                    real = augment(real, kaug, ada_p)
+                    real = augment(real, kaug, ada_p,
+                                   pad_frac=self.ada_pad_frac)
 
                 def r1_fn(p):
                     def score(x):
@@ -366,7 +374,8 @@ class StyleGAN2Trainer:
                 # THROUGH the augmentation; skipping it would let G train
                 # against a D input distribution D itself never sees
                 if self.use_augment:
-                    fake = augment(fake, kaug, ada_p)
+                    fake = augment(fake, kaug, ada_p,
+                                   pad_frac=self.ada_pad_frac)
                 fp = self._disc_apply(self.disc, d_params, fake)
                 return L.g_nonsaturating_loss(fp)
 

@@ -43,6 +43,10 @@ def build_parser():
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--augment_p", type=float, default=0)
     parser.add_argument("--ada_target", type=float, default=0.6)
+    # additive: static ADA reflect pad as a fraction of image size; 0.75
+    # covers the full transform distribution (reference pads dynamically),
+    # smaller values trade far-tail edge clamping for step time
+    parser.add_argument("--ada_pad_frac", type=float, default=0.75)
     parser.add_argument("--ada_length", type=int, default=500 * 1000)
     parser.add_argument("--ada_every", type=int, default=256)
     parser.add_argument("--work_dir", default="./exp_results", type=str)
@@ -129,6 +133,7 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         augment_p=args.augment_p if args.augment else None,
         ada_target=args.ada_target,
         ada_length=args.ada_length,
+        ada_pad_frac=getattr(args, "ada_pad_frac", 0.75),
         logit_save_steps=args.logit_save_steps,
         save_logit_after=args.save_logit_after,
         stop_save_logit_after=args.stop_save_logit_after,
