@@ -844,6 +844,12 @@ class StyleGAN2Trainer:
             self.d_drs_state = self.d_drs_state.replace(
                 params=jax.tree.map(jnp.asarray, src))
         self.ada_aug_p = float(payload.get("ada_aug_p", 0.0))
+        if self.ada is not None:
+            # sync the adaptive controller — it returns ITS internal p at
+            # the first tune(), so leaving it at the fresh-construction 0.0
+            # would silently collapse augmentation strength on every
+            # preemption/restart of a long --auto_resume run
+            self.ada.ada_aug_p = self.ada_aug_p
         return int(payload.get("step", 0))
 
     def _next_boundary(self, step):

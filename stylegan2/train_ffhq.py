@@ -133,7 +133,7 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         augment_p=args.augment_p if args.augment else None,
         ada_target=args.ada_target,
         ada_length=args.ada_length,
-        ada_pad_frac=getattr(args, "ada_pad_frac", 0.75),
+        ada_pad_frac=args.ada_pad_frac,
         logit_save_steps=args.logit_save_steps,
         save_logit_after=args.save_logit_after,
         stop_save_logit_after=args.stop_save_logit_after,

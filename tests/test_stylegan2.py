@@ -129,6 +129,54 @@ def test_g_step_augments_fake_and_static_off_compiles_out(tmp_path):
     assert tr_off.use_augment is False and tr_off.ada is None
     assert int(tr_off.g_state.step) == 1
 
+    # "compiled out" means the PROGRAM no longer contains the warp: the
+    # affine resample inverts the 3x3 transform batch (jnp.linalg.inv ->
+    # lu/triangular_solve primitives), which nothing else in the D step
+    # uses — assert on the traced jaxpr, not just the Python flags
+    def d_jaxpr(p):
+        t = StyleGAN2Trainer(
+            tmp_path / f"jx{p}", StyleGAN2Generator(size=16),
+            StyleGAN2Discriminator(size=16), imgs, num_steps=1,
+            batch_size=2, log_every=1, save_every=10000, augment_p=p,
+            fuse_steps=False,
+        )
+        return str(jax.make_jaxpr(
+            lambda d, gp, k, ap, im: t._uf["d"](d, gp, k, ap, im)
+        )(t.d_state, t.g_state.params, jax.random.key(0), 0.0, t.images))
+
+    assert "triangular_solve" in d_jaxpr(0.0)
+    assert "triangular_solve" not in d_jaxpr(None)
+
+
+def test_adaptive_ada_p_survives_resume(tmp_path):
+    """The checkpoint carries ada_aug_p; on load the ADAPTIVE controller
+    must be synced too — tune() returns ITS internal p, so a fresh
+    controller left at 0.0 silently collapsed augmentation strength at the
+    first update after every preemption/restart."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (16, 16, 16, 3), np.uint8)
+
+    def make(out):
+        return StyleGAN2Trainer(
+            tmp_path / out, StyleGAN2Generator(size=16),
+            StyleGAN2Discriminator(size=16), imgs, num_steps=4,
+            batch_size=2, log_every=1, save_every=10000, augment_p=0.0,
+        )
+
+    tr = make("a")
+    tr.ada_aug_p = 0.37
+    tr._save_ckpt(4)
+
+    tr2 = make("b")
+    step = tr2.load_ckpt(tmp_path / "a" / "checkpoint" / "000004.pt")
+    assert step == 4
+    assert tr2.ada_aug_p == pytest.approx(0.37)
+    assert tr2.ada.ada_aug_p == pytest.approx(0.37)
+    # and the first controller update starts FROM the restored p
+    p = tr2.ada.tune(2.0 * tr2.ada.update_every, tr2.ada.update_every)
+    assert abs(p - 0.37) < 0.01
+
     # isolate the G step: drive the unfused g piece directly with the SAME
     # G/D states and key, varying only ada_p — the update differs iff the
     # fake is augmented inside the generator loss
