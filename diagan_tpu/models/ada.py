@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diagan_tpu.ops.upfirdn2d import upfirdn2d
+from diagan_tpu.ops.warp_pallas import affine_gather
 
 # sym6 wavelet scaling filter, the reference's antialiasing kernel
 # (non_leaking.py:46-59). Orthonormal: sum(k^2) == 1, sum(k) == sqrt(2).
@@ -273,21 +274,26 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75):
     x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
 
     # bilinear affine gather, restricted to the window the downsample's
-    # kept region actually reads: global 2x coords m in [2P-6, 2P+2h+6)
+    # kept region actually reads: global 2x coords m in [2P-6, 2P+2h+6).
+    # With u(m) = (m + 0.5 - 2P)/h - 1 (output-pixel NDC, kernel center
+    # c = 5.5 — the residual asymmetric part of sym6's delay cancels
+    # between the flipped up pass and the unflipped down pass) and
+    # src = Ginv @ [ux, uy, 1], q = (src + 1)*h + 2P - 0.5 is AFFINE in
+    # the output indices (i, j): fold it into 6 per-image coefficients so
+    # the warp op (XLA gather fwd, Pallas scatter-as-matmul bwd on TPU —
+    # ops/warp_pallas.py) never materializes the grid.
     m0 = 2 * P - pad_k
     win = 2 * h + 2 * pad_k
-    m = m0 + jnp.arange(win, dtype=jnp.float32)
-    # output-pixel NDC, derived with kernel center c = 5.5 (the residual
-    # asymmetric part of sym6's delay cancels between the flipped up pass
-    # and the unflipped down pass)
-    u = (m + 0.5 - 2 * P) / h - 1.0
-    uy, ux = jnp.meshgrid(u, u, indexing="ij")
-    grid = jnp.stack([ux, uy, jnp.ones_like(ux)], 0).reshape(3, -1)
-    src = jnp.einsum("nij,jk->nik", Ginv, grid)  # (n, 3, win*win)
-    qx = (src[:, 0] + 1.0) * h + 2 * P - 0.5
-    qy = (src[:, 1] + 1.0) * h + 2 * P - 0.5
-    y = jax.vmap(_bilinear_gather)(x2, qy.reshape(n, win, win),
-                                   qx.reshape(n, win, win))
+    beta = (m0 + 0.5 - 2 * P) / h - 1.0
+    off = 2 * P - 0.5
+    ay = Ginv[:, 1, 1]
+    by = Ginv[:, 1, 0]
+    cy = h * ((Ginv[:, 1, 0] + Ginv[:, 1, 1]) * beta + Ginv[:, 1, 2] + 1.0) + off
+    ax = Ginv[:, 0, 1]
+    bx = Ginv[:, 0, 0]
+    cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta + Ginv[:, 0, 2] + 1.0) + off
+    coef = jnp.stack([ay, by, cy, ax, bx, cx], -1)
+    y = affine_gather(x2, coef, win)
 
     # sym6 filter + 2x downsample; with window start m0 the kept original
     # rows are output indices [3, 3+h)

@@ -12,6 +12,7 @@ from diagan_tpu.ops.upfirdn2d import (
 )
 from diagan_tpu.ops.fused_act import fused_leaky_relu
 from diagan_tpu.ops.fir_pallas import upfirdn2d_pallas
+from diagan_tpu.ops.warp_pallas import affine_gather
 
 __all__ = [
     "upfirdn2d",
@@ -19,4 +20,5 @@ __all__ = [
     "upfirdn2d_pallas",
     "make_resample_kernel",
     "fused_leaky_relu",
+    "affine_gather",
 ]

@@ -341,12 +341,18 @@ def convert_state_dict(sd):
     for required, fn in _IMPORTERS:
         if all(k in sd for k in required):
             return fn(sd)
+    from diagan_tpu.utils import mimicry_import as mi
+
+    if mi.matches_mimicry_generator(sd):
+        return mi.import_mimicry_generator(sd)
+    if mi.matches_mimicry_discriminator(sd):
+        return mi.import_mimicry_discriminator(sd)
     sample = ", ".join(sorted(sd)[:6])
     raise ValueError(
         "unrecognized torch state_dict (keys: %s...). Importers exist for the "
-        "MNIST DCGAN nets whose torch definitions are in the reference repo; "
-        "the torch-mimicry SNGAN zoo's key layout is an external dependency "
-        "and is not supported." % sample
+        "MNIST DCGAN nets whose torch definitions are in the reference repo "
+        "and the torch-mimicry SNGAN/SSGAN zoo layout "
+        "(utils/mimicry_import.py)." % sample
     )
 
 
