@@ -85,6 +85,9 @@ def load_phase1_scores(baseline_save_path, p1_step, resample_score,
     w = np.asarray(score_dict[resample_score])
     print(f"sample_weights mean: {w.mean()}, var: {w.var()}, "
           f"max: {w.max()}, min: {w.min()}")
+    from diagan_tpu.score import warn_if_degenerate_weights
+
+    warn_if_degenerate_weights(w, resample_score)
     return w
 
 

@@ -33,14 +33,25 @@ from diagan_tpu.utils.plot import (
 )
 
 
-def _base_parser(dataset, root, exp, num_steps=20000):
+def _base_parser(dataset, root, exp, num_steps=20000, model="mnistgan",
+                 use_clipping=True, quiet=False):
+    """Flag composition varies per reference script (verified by
+    tests/test_cli_parity.py against the reference ASTs): --use_clipping
+    exists in the phase1 and phase2_gold scripts only, --quiet in the
+    mnist_fmnist family only, and the fmnist phase-1 --model default is
+    'mnist_dcgan'. Both --use_clipping and --quiet are accepted-but-unused
+    in the reference too."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", "-d", default=dataset, type=str)
     parser.add_argument("--root", "-r", default=root, type=str)
     parser.add_argument("--exp_name", default=exp, type=str)
-    parser.add_argument("--model", default="mnistgan", type=str)
+    parser.add_argument("--model", default=model, type=str)
+    if quiet:
+        parser.add_argument("--quiet", dest="quiet", action="store_true",
+                            help="reference CLI compat; unused there too")
     parser.add_argument("--num_pack", default=1, type=int)
-    parser.add_argument("--use_clipping", action="store_true")
+    if use_clipping:
+        parser.add_argument("--use_clipping", action="store_true")
     parser.add_argument("--num_steps", default=num_steps, type=int)
     parser.add_argument("--logit_save_steps", default=100, type=int)
     parser.add_argument("--decay", default="None", type=str)
@@ -71,7 +82,11 @@ def _gen_fn_from_trainer(trainer, n_batch=250):
 
 
 def phase1(dataset, root, exp):
-    parser = _base_parser(dataset, root, exp)
+    fmnist = dataset == "mnist_fmnist"
+    parser = _base_parser(
+        dataset, root, exp,
+        model="mnist_dcgan" if fmnist else "mnistgan", quiet=fmnist,
+    )
     parser.add_argument("--loss_type", default="ns", type=str)
     parser.add_argument("--topk", default=0, type=int)
     parser.add_argument("--resample_score", type=str)
@@ -137,13 +152,26 @@ def phase1(dataset, root, exp):
 
 
 def phase2(dataset, root, exp):
-    parser = _base_parser(dataset, root, exp)
-    parser.add_argument("--baseline_exp_name", default=exp, type=str)
-    parser.add_argument("--p1_step", default=20000, type=int)
+    fmnist = dataset == "mnist_fmnist"
+    # --use_clipping exists in the fmnist phase-2 script but not the
+    # color_mnist one (reference :54 vs. absent)
+    parser = _base_parser(dataset, root, exp, use_clipping=fmnist,
+                          quiet=fmnist)
+    parser.add_argument(
+        "--baseline_exp_name",
+        default="mnist_fmnist_baseline" if fmnist else exp, type=str)
+    parser.add_argument("--p1_step", default=10000, type=int)
     parser.add_argument("--resample_score", type=str)
-    parser.add_argument("--loss_type", default="hinge", type=str)
+    parser.add_argument("--loss_type",
+                        default="ns" if fmnist else "hinge", type=str)
     parser.add_argument("--use_eval_logits", type=int)
+    if fmnist:
+        # reference fmnist phase2 only: trainer-side GOLD activation at
+        # p1_step on the (always GOLD-capable) DCGAN D
+        # (train_mimicry_mnist_fmnist_phase2.py:65,156-157)
+        parser.add_argument("--gold", action="store_true")
     args = parser.parse_args()
+    gold = bool(getattr(args, "gold", False))
 
     enable_compile_cache()
     output_dir = f"{args.work_dir}/{args.exp_name}"
@@ -154,7 +182,7 @@ def phase2(dataset, root, exp):
     set_seed(args.seed)
 
     bundle = get_gan_model(
-        dataset_name=args.dataset, model=args.model, drs=True,
+        dataset_name=args.dataset, model=args.model, drs=True, gold=gold,
         loss_type=args.loss_type, num_pack=args.num_pack,
         bf16=getattr(args, "bf16", False),
     )
@@ -180,6 +208,9 @@ def phase2(dataset, root, exp):
         print(f"sample_weights mean: {sample_weights.mean()}, "
               f"var: {sample_weights.var()}, max: {sample_weights.max()}, "
               f"min: {sample_weights.min()}")
+        from diagan_tpu.score import warn_if_degenerate_weights
+
+        warn_if_degenerate_weights(sample_weights, args.resample_score)
 
     ds_train = get_predefined_dataset(
         dataset_name=args.dataset, root=args.root,
@@ -211,6 +242,8 @@ def phase2(dataset, root, exp):
         vis_steps=100,
         logit_save_steps=args.logit_save_steps,
         save_logits=False,
+        gold=gold,
+        gold_step=args.p1_step if gold else 0,
         seed=args.seed,
     )
     # first resampled batch grid (reference :119-121)
@@ -242,10 +275,22 @@ def phase2(dataset, root, exp):
 
 
 def phase2_gold(dataset, root, exp):
-    parser = _base_parser(dataset, root, exp)
-    parser.add_argument("--baseline_exp_name", default=exp, type=str)
-    parser.add_argument("--p1_step", default=20000, type=int)
-    parser.add_argument("--loss_type", default="ns", type=str)
+    fmnist = dataset == "mnist_fmnist"
+    parser = _base_parser(dataset, root, exp, quiet=fmnist)
+    parser.add_argument(
+        "--baseline_exp_name",
+        default="mnist_fmnist_baseline" if fmnist else exp, type=str)
+    parser.add_argument("--p1_step", default=10000, type=int)
+    if not fmnist:
+        # declared-but-unused in the reference color_mnist gold script
+        # (train_mimicry_color_mnist_phase2_gold.py:57,141)
+        parser.add_argument("--resample_score", type=str)
+    parser.add_argument("--loss_type",
+                        default="ns" if fmnist else "hinge", type=str)
+    if fmnist:
+        # declared-but-unused in the reference
+        # (train_mimicry_mnist_fmnist_phase2_gold.py:60)
+        parser.add_argument("--use_eval_logits", type=int)
     args = parser.parse_args()
 
     enable_compile_cache()

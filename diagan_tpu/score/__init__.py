@@ -4,6 +4,7 @@ from diagan_tpu.score.score import (
     clip_min,
     ldr_conf_score,
     prepare_sample_weights,
+    warn_if_degenerate_weights,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "clip_min",
     "ldr_conf_score",
     "prepare_sample_weights",
+    "warn_if_degenerate_weights",
 ]

@@ -129,6 +129,33 @@ def calculate_scores(logits, start_epoch=50, end_epoch=75, clip_val=1.5,
     return _ScoreDict(base, mean, std)
 
 
+def warn_if_degenerate_weights(weights, score_name, ratio_threshold=1.05):
+    """Loud warning when resampling weights are near-uniform.
+
+    The ldr_conf family saturates when D's real logits sit high (every
+    score clears the clip_min floor and the cap pins to floor*ratio,
+    docs/VALIDATION.md): phase 2 then silently trains with ~uniform
+    weights — indistinguishable from the baseline, discovered only after
+    the full run. Returns True when degenerate (max/min <= threshold).
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    lo = float(w.min())
+    ratio = float(w.max() / lo) if lo > 0 else float("inf")
+    if ratio <= ratio_threshold:
+        import warnings
+
+        warnings.warn(
+            f"resample weights for '{score_name}' are near-uniform "
+            f"(max/min = {ratio:.4f} <= {ratio_threshold}): phase 2 will "
+            "behave like the unweighted baseline. D's logits likely "
+            "saturate the ldr_conf clip window on this dataset — consider "
+            "--normalize_logits or a variance score (ldrv).",
+            RuntimeWarning, stacklevel=2,
+        )
+        return True
+    return False
+
+
 def prepare_sample_weights(weights, eps=1e-6, clip_var=False):
     """Floor resampling weights at eps (reference train_mimicry_phase2.py:21-23).
 

@@ -12,13 +12,13 @@ from diagan_tpu.score import calculate_scores
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", "-d", default="celeba", type=str)
     parser.add_argument("--root", "-r", default="./dataset/celeba", type=str)
     parser.add_argument("--work_dir", default="./exp_results", type=str)
     parser.add_argument("--exp_name", default="mimicry_pretrained-seed1", type=str)
     parser.add_argument("--p1_step", default=60000, type=int)
     parser.add_argument("--resample_score", type=str)
     parser.add_argument("--attr", default="Bald", type=str)
-    parser.add_argument("--seed", default=1, type=int)
     args = parser.parse_args()
 
     save_path = Path(f"{args.work_dir}/{args.exp_name}")

@@ -22,12 +22,15 @@ from diagan_tpu.models.stylegan2 import StyleGAN2Discriminator  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--size", type=int, default=256)
-    parser.add_argument("--sample", type=int, default=16)
+    parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--sample", type=int, default=1)
     parser.add_argument("--pics", type=int, default=20)
     parser.add_argument("--truncation", type=float, default=1.0)
     parser.add_argument("--truncation_mean", type=int, default=4096)
-    parser.add_argument("--ckpt", type=str, required=True)
+    # reference default points at the NVIDIA release checkpoint
+    # (stylegan2/generate.py:53-58); not required there either
+    parser.add_argument("--ckpt", type=str,
+                        default="stylegan2-ffhq-config-f.pt")
     parser.add_argument("--channel_multiplier", type=int, default=2)
     parser.add_argument("--out_dir", type=str, default="sample")
     parser.add_argument("--seed", type=int, default=0)

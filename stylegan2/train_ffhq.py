@@ -23,8 +23,11 @@ from diagan_tpu.utils import set_seed  # noqa: E402
 
 def build_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset", "-d", default="ffhq", type=str)
-    parser.add_argument("--root", "-r", default="./dataset/ffhq", type=str)
+    # the reference defaults really are cifar10 here even in the FFHQ
+    # scripts (stylegan2/train_ffhq.py:387-388); README commands pass
+    # `-d ffhq -r ./dataset/ffhq` explicitly
+    parser.add_argument("--dataset", "-d", default="cifar10", type=str)
+    parser.add_argument("--root", "-r", default="./dataset/cifar10", type=str)
     parser.add_argument("--iter", type=int, default=800000)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--n_sample", type=int, default=64)

@@ -25,9 +25,11 @@ def main():
     parser = build_parser()
     parser.add_argument("--p1_step", default=200000, type=int)
     parser.add_argument("--baseline_exp_name", type=str)
-    parser.add_argument("--resample_score", type=str,
-                        default="ldr_conf_3.0_ratio_50")
-    parser.set_defaults(r1=10.0)  # phase-2 r1 weight (reference :428)
+    parser.add_argument("--resample_score", type=str)
+    # phase-2 surface deviations from the shared phase-1 parser, matching
+    # the reference (:428 r1=10; :511 save_logit_after=1000000 — phase 2
+    # records no logits unless explicitly asked)
+    parser.set_defaults(r1=10.0, save_logit_after=1000000)
     args = parser.parse_args()
 
     baseline_dir = Path(args.work_dir) / (args.baseline_exp_name or args.exp_name)
@@ -39,9 +41,16 @@ def main():
     score_dict = calculate_scores(
         logits, start_epoch=args.p1_step - window, end_epoch=args.p1_step
     )
+    if args.resample_score is None:
+        parser.error("--resample_score is required (the reference crashes "
+                     "with KeyError(None) here; see README for the "
+                     "shipping score names, e.g. ldr_conf_3.0_ratio_50)")
     sample_weights = np.asarray(score_dict[args.resample_score])
     print(f"sample_weights mean: {sample_weights.mean()}, "
           f"max: {sample_weights.max()}, min: {sample_weights.min()}")
+    from diagan_tpu.score import warn_if_degenerate_weights
+
+    warn_if_degenerate_weights(sample_weights, args.resample_score)
 
     trainer, start = make_trainer(
         args, sample_weights=sample_weights, drs=True, r1=args.r1

@@ -106,3 +106,20 @@ def test_normalize_logits_restores_conf_dynamic_range():
     assert contrast(plain) < 1.5          # saturated: all capped at 0.5
     assert contrast(normed) > 5.0         # restored dynamic range
     assert plain.min() >= 1e-2            # default path: reference formula
+
+
+def test_warn_if_degenerate_weights():
+    """Near-uniform resample weights (the saturation failure mode) must
+    warn loudly before a phase-2 run silently trains unweighted."""
+    import warnings
+
+    from diagan_tpu.score import warn_if_degenerate_weights
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # healthy weights: no warning
+        assert not warn_if_degenerate_weights(
+            np.array([0.5, 1.0, 3.0]), "ldr_conf_0.3_ratio_50")
+
+    with pytest.warns(RuntimeWarning, match="near-uniform"):
+        assert warn_if_degenerate_weights(
+            np.full(100, 0.5) + np.linspace(0, 1e-3, 100), "ldr_conf")

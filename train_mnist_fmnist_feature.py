@@ -16,7 +16,7 @@ def main():
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--bs", type=int, default=64)
     parser.add_argument("--epochs", type=int, default=80)
-    parser.add_argument("--num_data", type=int, default=60000)
+    parser.add_argument("--num_data", type=int, default=10000)
     opt = parser.parse_args()
 
     enable_compile_cache()
