@@ -11,7 +11,18 @@ host-side dataloading; no number is published in the repo — BASELINE.md).
 The driver-defined target is vs_baseline >= 5.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Extra fields on the same line (best-effort; driver-tracked secondary
+metrics, BASELINE.json):
+  drs_samples_per_sec   — DRS rejection sampling throughput (SNGAN-32,
+                          batch 256, gamma = p80 => ~20% acceptance,
+                          reference drs.py:11,46-47)
+  sg2_256_ms_per_step / sg2_256_img_per_sec / sg2_256_mfu_pct —
+      StyleGAN2-256 full fused training step (D + DRS-D + G + EMA +
+      in-scan lazy R1/16 + path-reg/4, batch 16 bf16 — the reference
+      FFHQ config's global batch, README.md:149-159). The MXU-relevant
+      workload; MFU from XLA cost analysis against the bf16 peak.
 """
 from __future__ import annotations
 
@@ -133,7 +144,84 @@ def _run():
         print(f"WARN: no cost analysis ({type(e).__name__}: {e})",
               file=sys.stderr)
 
+    # ---- secondary: DRS sampling throughput (reuses the trained-shape
+    # SNGAN G/D just benchmarked; acceptance ~20% by construction since
+    # gamma is the 80th percentile) --------------------------------------
+    try:
+        from diagan_tpu.eval.drs import DRS
+        from diagan_tpu.eval.evaluate import make_disc_fn, make_gen_fn
+
+        sampler = DRS(
+            make_gen_fn(bundle, g_state),
+            make_disc_fn(bundle.disc, d_state),
+            bundle.nz, key=jax.random.key(11), batch_size=256,
+        )
+        # compile + warm-up + gamma estimate; uint8 transfer = the
+        # optimized eval path (docs/VALIDATION.md "DRS sampling rate")
+        sampler.generate_images(2048, return_uint8=True)
+        n = 8192
+        t0 = time.perf_counter()
+        imgs = sampler.generate_images(n, return_uint8=True)
+        assert len(imgs) == n
+        out["drs_samples_per_sec"] = round(n / (time.perf_counter() - t0), 1)
+    except Exception as e:
+        print(f"WARN: no DRS bench ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    # ---- secondary: StyleGAN2-256 fused step (MXU-bound workload) ------
+    try:
+        out.update(_sg2_bench())
+    except Exception as e:
+        print(f"WARN: no StyleGAN2 bench ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     print(json.dumps(out))
+
+
+def _sg2_bench(size=256, batch=16, steps=10):
+    import jax.numpy as jnp
+
+    from diagan_tpu.models.stylegan2 import (
+        StyleGAN2Discriminator,
+        StyleGAN2Generator,
+    )
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (512, size, size, 3), np.uint8
+    )
+    tr = StyleGAN2Trainer(
+        "/tmp/bench_sg2", StyleGAN2Generator(size=size, dtype=jnp.bfloat16),
+        StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
+        imgs, num_steps=steps, batch_size=batch,
+        log_every=steps, save_every=10**9, seed=0,
+    )
+    tr.train(start_step=0)  # compiles + warms the chunk program
+    chunk = tr._plain_chunks[steps]
+    args = (tr.g_state, tr.d_state, tr.d_drs_state, tr.g_ema, tr.pl_mean,
+            jax.random.key(7), tr.ada_aug_p, jnp.int32(steps), tr.images)
+    t0 = time.perf_counter()
+    res = chunk(*args)
+    np.asarray(res[-1]["d"])  # d2h transfer = the reliable sync point
+    dt = (time.perf_counter() - t0) / steps
+    fields = {
+        "sg2_256_ms_per_step": round(dt * 1000, 1),
+        "sg2_256_img_per_sec": round(batch / dt, 1),
+    }
+    try:
+        ca = chunk.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca["flops"]) / steps
+        peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
+        fields["sg2_256_gflop_per_step"] = round(flops_per_step / 1e9, 1)
+        if peak:
+            fields["sg2_256_mfu_pct"] = round(
+                100.0 * flops_per_step / dt / (peak * 1e12), 2
+            )
+    except Exception as e:
+        print(f"WARN: no sg2 cost analysis ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    return fields
 
 
 if __name__ == "__main__":

@@ -50,7 +50,15 @@ class LogitRecorder:
         self._batch_ids = jnp.arange(self._idx.shape[0], dtype=jnp.int32)
         self._sweep = None
 
-    def _build_sweep(self, d_fwd, quantized):
+    def make_row_fn(self, d_fwd, quantized):
+        """(params, state, images, key) -> float32[num_data] sweep row.
+
+        Pure (traceable) — usable standalone (record()) or spliced into a
+        larger jitted program (the train chunk folds the sweep in so the
+        recording window costs no extra dispatch/sync,
+        train/steps.py make_train_chunk_with_sweep). Under a mesh the
+        returned callable is the shard_map'd sharded sweep.
+        """
         num_data = self.num_data
 
         def scan_row(params, state, images, key, idx_all, mask_all, batch_ids):
@@ -81,13 +89,11 @@ class LogitRecorder:
             return row
 
         if self.mesh is None:
-            @jax.jit
-            def sweep(params, state, images, buffer, slot, key):
-                row = scan_row(params, state, images, key,
-                               self._idx, self._mask, self._batch_ids)
-                return buffer.at[slot].set(row)
+            def row_fn(params, state, images, key):
+                return scan_row(params, state, images, key,
+                                self._idx, self._mask, self._batch_ids)
 
-            return sweep
+            return row_fn
 
         # Sharded sweep: split the batch list over the mesh — each device
         # forwards its share of the dataset and scatters into a local row;
@@ -110,13 +116,29 @@ class LogitRecorder:
             out_specs=P(), check_vma=False,
         )
 
+        def row_fn(params, state, images, key):
+            return sharded_row(params, state, images, key,
+                               self._idx, self._mask, self._batch_ids)
+
+        return row_fn
+
+    def _build_sweep(self, d_fwd, quantized):
+        row_fn = self.make_row_fn(d_fwd, quantized)
+
         @jax.jit
         def sweep(params, state, images, buffer, slot, key):
-            row = sharded_row(params, state, images, key,
-                              self._idx, self._mask, self._batch_ids)
-            return buffer.at[slot].set(row)
+            return buffer.at[slot].set(row_fn(params, state, images, key))
 
         return sweep
+
+    def commit_row(self, buffer, global_step: int):
+        """Adopt a buffer whose next slot was filled inside an external
+        jitted program (the folded train chunk) — no transfer, no sync."""
+        if self.count >= self.max_snapshots:
+            raise RuntimeError("logit buffer full; raise max_snapshots")
+        self.buffer = buffer
+        self.steps[self.count] = int(global_step)
+        self.count += 1
 
     def record(self, d_fwd, params, state, images, global_step: int,
                quantized: bool = True, key=None):

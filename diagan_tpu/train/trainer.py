@@ -84,7 +84,15 @@ class LogTrainer:
         profile_dir=None,
         step_fusions=None,
         mesh=None,
+        fold_sweep=True,
     ):
+        # fold_sweep: run each in-window logit sweep INSIDE the train-chunk
+        # program (one dispatch, no host sync at the window boundary) —
+        # values bit-identical to the standalone recorder (pinned by
+        # tests/test_train.py); False keeps the separate-dispatch path.
+        # The reference synced host<->device per BATCH here
+        # (trainer.py:142-156).
+        self.fold_sweep = fold_sweep
         # step_fusions: optional dict of StepConfig probe knobs
         # ({'concat_d', 'fuse_g', 'simultaneous_g'} -> bool); all default
         # False = exact reference step semantics (see steps.StepConfig)
@@ -274,6 +282,44 @@ class LogTrainer:
                 self._chunks[size] = make_train_chunk(self.fused_step, size)
         return self._chunks[size]
 
+    def _combined_chunk_fn(self, size):
+        """Train chunk with the logit sweep folded into the SAME jitted
+        program: after the scanned steps, the final D (or DRS-D) forwards
+        the whole dataset and scatters the row into the ring buffer slot —
+        one dispatch, nothing crosses the host boundary, and the chunk
+        pipeline keeps flowing through the recording window (the separate
+        sweep dispatch + forced sync used to halve in-window throughput,
+        docs/VALIDATION.md)."""
+        cache_key = (size, "sweep")
+        if cache_key not in self._chunks:
+            row_fn = self.recorder.make_row_fn(
+                self._get_record_fwd(), self.source._quantized
+            )
+            if self.mesh is not None:
+                from diagan_tpu.parallel import make_sharded_train_chunk
+
+                inner = make_sharded_train_chunk(
+                    self.fused_step, size, self.mesh, donate=False
+                )
+            else:
+                inner = make_train_chunk(self.fused_step, size, donate=False)
+            use_drs = self.train_drs
+
+            def combined(g, d, ddrs, images, drs_images, log_weights, key,
+                         start_step, buffer, slot, sweep_key, aux=None):
+                g, d, ddrs, metrics = inner(
+                    g, d, ddrs, images, drs_images, log_weights, key,
+                    start_step, aux,
+                )
+                ds = ddrs if use_drs else d
+                row = row_fn(ds.params, ds.state, images, sweep_key)
+                return g, d, ddrs, metrics, buffer.at[slot].set(row)
+
+            self._chunks[cache_key] = jax.jit(
+                combined, donate_argnums=(0, 1, 2, 8)
+            )
+        return self._chunks[cache_key]
+
     def _next_boundary(self, step):
         # log_steps deliberately NOT a boundary: the chunk returns stacked
         # per-step metrics, so interior log-step scalars are written from
@@ -293,11 +339,13 @@ class LogTrainer:
             and self.save_logit_after <= step <= self.stop_save_logit_after
         )
 
-    def _record_logits(self, step):
+    def _get_record_fwd(self):
+        """The D forward used for logit sweeps (shared by the standalone
+        recorder dispatch and the folded-into-chunk sweep)."""
         if self.train_drs:
-            d_state, name, dmod = self.d_drs_state, "netD_drs", self.bundle.disc_drs
+            name, dmod = "netD_drs", self.bundle.disc_drs
         else:
-            d_state, name, dmod = self.d_state, "netD", self.bundle.disc
+            name, dmod = "netD", self.bundle.disc
         mode = "eval" if self.save_eval_logits else "train"
         if self._record_fwd is None:
 
@@ -322,10 +370,18 @@ class LogTrainer:
 
             self._record_fwd = fwd
             self._record_name = f"{name}_{mode}"
+        return self._record_fwd
+
+    def _sweep_key(self, step):
+        return jax.random.fold_in(jax.random.key(self.seed + 2), step)
+
+    def _record_logits(self, step):
+        fwd = self._get_record_fwd()
+        d_state = self.d_drs_state if self.train_drs else self.d_state
         self.recorder.record(
-            self._record_fwd, d_state.params, d_state.state,
+            fwd, d_state.params, d_state.state,
             self.source.images, step, quantized=self.source._quantized,
-            key=jax.random.fold_in(jax.random.key(self.seed + 2), step),
+            key=self._sweep_key(step),
         )
 
     def _save_checkpoints(self, step):
@@ -422,13 +478,33 @@ class LogTrainer:
             while step < self.num_steps and not interrupted["flag"]:
                 boundary = self._next_boundary(step)
                 size = boundary - step
-                chunk = self._chunk_fn(size)
                 key = jax.random.fold_in(self.key, step)
-                (self.g_state, self.d_state, self.d_drs_state, metrics) = chunk(
-                    self.g_state, self.d_state, self.d_drs_state,
-                    self.source.images, drs_images, log_weights, key,
-                    jnp.asarray(step, jnp.int32), self.aux,
+                folded_sweep = (
+                    self.fold_sweep and self._logit_window(boundary)
+                    and self.recorder.count < self.recorder.max_snapshots
                 )
+                if folded_sweep:
+                    chunk = self._combined_chunk_fn(size)
+                    (self.g_state, self.d_state, self.d_drs_state, metrics,
+                     buffer) = chunk(
+                        self.g_state, self.d_state, self.d_drs_state,
+                        self.source.images, drs_images, log_weights, key,
+                        jnp.asarray(step, jnp.int32), self.recorder.buffer,
+                        jnp.asarray(self.recorder.count, jnp.int32),
+                        self._sweep_key(boundary), self.aux,
+                    )
+                    self.recorder.commit_row(buffer, boundary)
+                    if self.recorder.count == 1:
+                        print("INFO: logit sweeps folded into the train "
+                              "chunk (no extra dispatch per window step)")
+                else:
+                    chunk = self._chunk_fn(size)
+                    (self.g_state, self.d_state, self.d_drs_state,
+                     metrics) = chunk(
+                        self.g_state, self.d_state, self.d_drs_state,
+                        self.source.images, drs_images, log_weights, key,
+                        jnp.asarray(step, jnp.int32), self.aux,
+                    )
                 prev, pending = pending, (step, boundary, metrics)
                 step = boundary
                 if profiling and step >= profile_until:
@@ -438,7 +514,8 @@ class LogTrainer:
                 # log the PREVIOUS chunk while this one runs on device
                 process_pending(prev)
                 if (step % self.vis_steps == 0 or step % self.save_steps == 0
-                        or self._logit_window(step) or step >= self.num_steps):
+                        or (self._logit_window(step) and not folded_sweep)
+                        or step >= self.num_steps):
                     # boundary actions below synchronize on the new states
                     # anyway — flush this chunk's logs first, in order
                     process_pending(pending)
@@ -459,7 +536,7 @@ class LogTrainer:
                             self.log_dir / "images", step,
                             real_points=self.source.dataset.images[:1000],
                         )
-                if self._logit_window(step):
+                if self._logit_window(step) and not folded_sweep:
                     print(f"INFO: logit saving at step {step}...")
                     self._record_logits(step)
                 if step % self.save_steps == 0:

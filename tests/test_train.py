@@ -336,3 +336,39 @@ def test_simultaneous_g_matches_sequential_d_update():
                           jax.tree.leaves(g_b.params))
     )
     assert changed
+
+
+def test_folded_sweep_matches_standalone_recorder(tmp_path, tiny_dataset):
+    """fold_sweep=True runs each in-window logit sweep inside the train
+    chunk program; the recorded pickles must be bit-identical to the
+    legacy separate-dispatch recorder path."""
+    tr_fold = _make_trainer(tmp_path / "fold", tiny_dataset, fold_sweep=True)
+    tr_fold.train()
+    tr_sep = _make_trainer(tmp_path / "sep", tiny_dataset, fold_sweep=False)
+    tr_sep.train()
+    a = pickle.load(open(tmp_path / "fold/logits_netD_eval.pkl", "rb"))
+    b = pickle.load(open(tmp_path / "sep/logits_netD_eval.pkl", "rb"))
+    assert sorted(a) == sorted(b) == [4, 8]
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # and training itself is unaffected by which path recorded
+    ga = jnp.asarray(tr_fold.g_state.params["Dense_0"]["kernel"])
+    gb = jnp.asarray(tr_sep.g_state.params["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_folded_sweep_matches_standalone_recorder_with_drs(tmp_path,
+                                                           tiny_dataset):
+    """Phase-2 shape: the folded sweep must read the DRS discriminator."""
+    outs = {}
+    for name, fold in (("fold", True), ("sep", False)):
+        tr = _make_trainer(
+            tmp_path / name, tiny_dataset, drs=True, fold_sweep=fold,
+            save_eval_logits=False,
+        )
+        tr.train()
+        outs[name] = pickle.load(
+            open(tmp_path / name / "logits_netD_drs_train.pkl", "rb"))
+    assert sorted(outs["fold"]) == sorted(outs["sep"]) == [4, 8]
+    for k in outs["fold"]:
+        np.testing.assert_array_equal(outs["fold"][k], outs["sep"][k])
