@@ -758,6 +758,10 @@ class StyleGAN2Trainer:
             "g_optim": jax.device_get(self.g_state.opt_state),
             "d_optim": jax.device_get(self.d_state.opt_state),
             "ada_aug_p": self.ada_aug_p,
+            # additive vs the reference dict (which resets mean_path_length
+            # on resume, train_ffhq.py:167): carrying it makes resume
+            # bitwise-identical to an uninterrupted run
+            "pl_mean": float(np.asarray(self.pl_mean)),
             "step": step,
         }
         if self.d_drs_state is not None:
@@ -820,29 +824,51 @@ class StyleGAN2Trainer:
                     jax.device_get(self.d_drs_state.params),
                     conv.get("drs_d", conv["d"]),
                 )
-        elif self.d_drs_state is not None:
-            full = dict(template)
-            full["drs_d"] = jax.device_get(self.d_drs_state.params)
-            full["drs_d_optim"] = jax.device_get(self.d_drs_state.opt_state)
-            try:
-                payload = serialization.from_bytes(full, data)
-            except (KeyError, ValueError):
-                # phase-1 checkpoint without drs_d: clone d into drs_d
-                # (reference train_ffhq_phase2.py:605-610, eval fallback
-                # evaluate.py:240-244)
-                payload = serialization.from_bytes(template, data)
-                payload["drs_d"] = payload["d"]
         else:
-            payload = serialization.from_bytes(template, data)
+            # per-key restore against the raw msgpack dict so every
+            # optional key degrades independently: drs_d falls back to d
+            # (phase-1 checkpoint, reference train_ffhq_phase2.py:605-610),
+            # pl_mean to 0 (pre-round-3 checkpoints didn't carry it)
+            raw = serialization.msgpack_restore(bytearray(data))
+            payload = {
+                k: serialization.from_state_dict(template[k], raw[k])
+                for k in template if k in raw
+            }
+            payload["step"] = raw.get("step", 0)
+            payload["ada_aug_p"] = raw.get("ada_aug_p", 0.0)
+            payload["pl_mean"] = raw.get("pl_mean", 0.0)
+            if self.d_drs_state is not None:
+                drs_tmpl = jax.device_get(self.d_drs_state.params)
+                payload["drs_d"] = serialization.from_state_dict(
+                    drs_tmpl, raw.get("drs_d", raw["d"]))
+                if "drs_d_optim" in raw:
+                    payload["drs_d_optim"] = serialization.from_state_dict(
+                        jax.device_get(self.d_drs_state.opt_state),
+                        raw["drs_d_optim"])
         self.g_state = self.g_state.replace(params=jax.tree.map(
             jnp.asarray, payload["g"]))
         self.d_state = self.d_state.replace(params=jax.tree.map(
             jnp.asarray, payload["d"]))
+        # Adam moments MUST come back too (the reference restores
+        # g_optim/d_optim, train_ffhq.py:560-566): resuming with zeroed
+        # moments is an effective-LR shock that knocked a long 256px run
+        # into a degenerate equilibrium (observed on hardware, round 3).
+        # The torch-import path above deliberately keeps fresh moments
+        # (torch Adam state does not map to optax trees, MIGRATION.md).
+        self.g_state = self.g_state.replace(opt_state=jax.tree.map(
+            jnp.asarray, payload["g_optim"]))
+        self.d_state = self.d_state.replace(opt_state=jax.tree.map(
+            jnp.asarray, payload["d_optim"]))
         self.g_ema = jax.tree.map(jnp.asarray, payload["g_ema"])
+        self.pl_mean = jnp.asarray(float(payload.get("pl_mean", 0.0)))
         if self.d_drs_state is not None:
             src = payload.get("drs_d", payload["d"])
             self.d_drs_state = self.d_drs_state.replace(
                 params=jax.tree.map(jnp.asarray, src))
+            if "drs_d_optim" in payload:
+                self.d_drs_state = self.d_drs_state.replace(
+                    opt_state=jax.tree.map(jnp.asarray,
+                                           payload["drs_d_optim"]))
         self.ada_aug_p = float(payload.get("ada_aug_p", 0.0))
         if self.ada is not None:
             # sync the adaptive controller — it returns ITS internal p at
@@ -892,7 +918,10 @@ class StyleGAN2Trainer:
     def _train_loop(self, step, interrupted):
         self._loop_step = step
         while step < self.num_steps and not interrupted["flag"]:
-            self.key, kc = jax.random.split(self.key)
+            # step-keyed (not sequentially split): a resumed run re-derives
+            # the exact key stream of an uninterrupted one, so resume is
+            # bitwise-deterministic (same scheme as LogTrainer.train)
+            kc = jax.random.fold_in(self.key, step)
             n = self._next_boundary(step) - step
             if not self.fuse:
                 ms = self._run_unfused(kc, step, n)

@@ -82,6 +82,7 @@ def test_converter_roundtrip(tmp_path):
     assert float(jnp.abs(y_loaded - y_init).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_converter_rejects_wrong_count(tmp_path):
     model = InceptionV3()
     sd, _ = _fabricate_state_dict(model)

@@ -196,6 +196,7 @@ def test_graft_dryrun_multichip(mesh):
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device_structure(tmp_path, mesh):
     # grad-pmean path must not change pytree structure vs single-device
     g, d, dd, fused, src = _setup(tmp_path, mesh)
@@ -251,6 +252,7 @@ def _sngan_sharded_setup(mesh, ngf, ndf, n_dis=5, global_bs=64):
 
 
 @pytest.mark.xslow
+@pytest.mark.slow
 def test_flagship_sngan_sharded_lowers_full_width(mesh):
     """The headline SNGAN CIFAR-10 config (n_dis=5, batch 64, hinge,
     spectral-norm ResNet G/D at full ngf=256/ndf=128) must build its SPMD
@@ -269,6 +271,7 @@ def test_flagship_sngan_sharded_lowers_full_width(mesh):
 
 
 @pytest.mark.xslow
+@pytest.mark.slow
 def test_flagship_sngan_sharded_executes_quarter_width(mesh):
     """Same architecture (spectral norm everywhere, n_dis=5 fused step,
     hinge loss, linear decay) at quarter width compiles AND executes a

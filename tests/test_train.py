@@ -357,6 +357,7 @@ def test_folded_sweep_matches_standalone_recorder(tmp_path, tiny_dataset):
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
 
 
+@pytest.mark.slow
 def test_folded_sweep_matches_standalone_recorder_with_drs(tmp_path,
                                                            tiny_dataset):
     """Phase-2 shape: the folded sweep must read the DRS discriminator."""
