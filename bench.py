@@ -126,13 +126,22 @@ def _run():
     # MFU from XLA's own cost analysis of the compiled chunk — an absolute
     # utilization figure that doesn't hinge on the estimated A100 constant
     # (derivation recorded in BASELINE.md).
+    #
+    # XLA's cost_analysis counts a lax.scan body ONCE — it does NOT
+    # multiply by the trip count (chunk(1) and chunk(50) report identical
+    # flops; scripts/probe_mfu_flops.py, pinned by
+    # tests/test_bench_flops.py). The chunk program's flops therefore
+    # already equal ONE step's flops; round 2 divided by CHUNK on the
+    # assumption the body was counted per-iteration, understating
+    # FLOPs/step and MFU 50x (the retracted 1.37%). An analytic conv-MAC
+    # count of the step (2876 GFLOP) agrees with XLA's 2673 within 8%.
     try:
         ca = chunk.lower(
             g_state, d_state, None, src.images, src.images, None,
             jax.random.fold_in(k, 0), jnp.int32(0),
         ).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_step = float(ca["flops"]) / CHUNK
+        flops_per_step = float(ca["flops"])
         kind = jax.devices()[0].device_kind
         peak = PEAK_TFLOPS.get(kind)
         out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOP
@@ -211,7 +220,8 @@ def _sg2_bench(size=256, batch=16, steps=10):
     try:
         ca = chunk.lower(*args).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_step = float(ca["flops"]) / steps
+        # scan body counted once = one step (see the SNGAN MFU note above)
+        flops_per_step = float(ca["flops"])
         peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
         fields["sg2_256_gflop_per_step"] = round(flops_per_step / 1e9, 1)
         if peak:

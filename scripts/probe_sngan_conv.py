@@ -80,17 +80,21 @@ def bench_conv(N, H, W, Cin, Cout, k, stride, dtype, iters, with_bwd,
     def conv(x, w):
         return base(x, w, stride, pad)
 
+    # DCE-proofing (v2 — v1 consumed output SLICES and XLA narrowed the
+    # conv to the slice, reporting 0.00 GFLOP): reduce the FULL tensors
+    # through a square (nonlinear, so reduce(conv) can't be algebraically
+    # pushed through the conv), and consume both grads fully.
     if with_bwd:
         def one(x, w):
             def loss(x, w):
                 return jnp.sum(conv(x, w) ** 2)
 
             gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
-            # consume BOTH grads or XLA dead-code-eliminates one of them
-            return jnp.sum(gx[:1, :1]) + jnp.sum(gw[:1, :1])
+            return jnp.sum(gx * gx) + jnp.sum(gw * gw)
     else:
         def one(x, w):
-            return jnp.sum(conv(x, w)[:1, :1])
+            y = conv(x, w)
+            return jnp.sum(y * y)
 
     @jax.jit
     def run(x, w):
@@ -109,6 +113,16 @@ def bench_conv(N, H, W, Cin, Cout, k, stride, dtype, iters, with_bwd,
     ca = run.lower(x, w).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca["flops"]) / iters
+    # analytic conv MACs as a cross-check (2*N*OH*OW*k*k*Cin*Cout per conv
+    # pass; bwd = dgrad + wgrad ~ 3x fwd) — if the cost analysis reports
+    # far less, XLA eliminated work and the timing is not a conv timing
+    oh, ow = H // stride, W // stride
+    conv_flops = 2.0 * N * oh * ow * k * k * Cin * Cout
+    analytic = conv_flops * (3.0 if with_bwd else 1.0)
+    if flops < 0.5 * analytic:
+        print(f"    WARN cost-analysis {flops/1e9:.2f} GFLOP << analytic "
+              f"{analytic/1e9:.2f} — DCE suspected", flush=True)
+    flops = max(flops, analytic)
 
     np.asarray(run(x, w))  # compile + warm
     t0 = time.perf_counter()

@@ -35,6 +35,7 @@ print("FINAL_STEP", tr.global_step, flush=True)
 """
 
 
+@pytest.mark.slow
 def test_sigterm_saves_and_is_resumable(tmp_path):
     out = tmp_path / "exp"
     env = dict(os.environ)
@@ -187,6 +188,7 @@ def test_supervise_restarts_until_success():
     assert code == 1 and attempts == 3
 
 
+@pytest.mark.slow
 def test_ffhq_auto_resume_picks_latest(tmp_path):
     """--auto_resume: make_trainer resumes from the newest {iter:06d}.pt in
     the experiment dir when --ckpt is absent (process-level recovery after

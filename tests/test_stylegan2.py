@@ -105,6 +105,7 @@ def test_adaptive_augment_direction():
     assert p_down < 0.5
 
 
+@pytest.mark.slow
 def test_g_step_augments_fake_and_static_off_compiles_out(tmp_path):
     """Two parity pins (reference train_ffhq.py:262-268):
     1. the generator loss scores the AUGMENTED fake — with augmentation
@@ -314,6 +315,7 @@ def test_stream_data_mode_trains_and_sweep_matches(tmp_path):
         assert bool(jnp.isfinite(leaf).all())
 
 
+@pytest.mark.slow
 def test_remat_param_tree_and_gradient_parity():
     """remat=True (per-layer nn.remat, explicitly-named wrapped modules)
     must leave (1) the param tree byte-identical — same paths, same init
