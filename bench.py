@@ -19,10 +19,11 @@ metrics, BASELINE.json):
                           batch 256, gamma = p80 => ~20% acceptance,
                           reference drs.py:11,46-47)
   sg2_256_ms_per_step / sg2_256_img_per_sec / sg2_256_mfu_pct —
-      StyleGAN2-256 full fused training step (D + DRS-D + G + EMA +
-      in-scan lazy R1/16 + path-reg/4, batch 16 bf16 — the reference
-      FFHQ config's global batch, README.md:149-159). The MXU-relevant
-      workload; MFU from XLA cost analysis against the bf16 peak.
+      StyleGAN2-256 full fused training step (D + G + EMA + in-scan
+      lazy R1/16 + path-reg/4, batch 16 bf16 — the reference FFHQ
+      config's global batch, README.md:149-159). The MXU-relevant
+      workload; MFU from XLA cost analysis against the bf16 peak,
+      de-rated to the amortized regularizer schedule (see _sg2_bench).
 """
 from __future__ import annotations
 
@@ -168,7 +169,10 @@ def _run():
         # compile + warm-up + gamma estimate; uint8 transfer = the
         # optimized eval path (docs/VALIDATION.md "DRS sampling rate")
         sampler.generate_images(2048, return_uint8=True)
-        n = 8192
+        # a large quota amortizes the per-dispatch cost the same way the
+        # 50k-sample eval runs do (VALIDATION.md "DRS sampling rate" was
+        # measured at a 50k accepted quota; small quotas under-report)
+        n = 24576
         t0 = time.perf_counter()
         imgs = sampler.generate_images(n, return_uint8=True)
         assert len(imgs) == n
@@ -220,8 +224,17 @@ def _sg2_bench(size=256, batch=16, steps=10):
     try:
         ca = chunk.lower(*args).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        # scan body counted once = one step (see the SNGAN MFU note above)
-        flops_per_step = float(ca["flops"])
+        # Scan body counted once = one step (see the SNGAN MFU note
+        # above) — but this body folds lazy R1 (every 16) and path-reg
+        # (every 4) in via lax.cond, and cost analysis counts a cond at
+        # its HEAVY branch, so the body reports a step where BOTH
+        # regularizers fire. De-rate to the amortized schedule with the
+        # measured per-program ratio (scripts/probe_sg2_flops_split.py
+        # on the v5e at size=256/batch=16: amortized 22942.8 GFLOP vs
+        # body 35337.7 -> 0.6492; re-run the probe if the model or the
+        # reg intervals change).
+        AMORTIZED_RATIO = 0.6492
+        flops_per_step = float(ca["flops"]) * AMORTIZED_RATIO
         peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
         fields["sg2_256_gflop_per_step"] = round(flops_per_step / 1e9, 1)
         if peak:

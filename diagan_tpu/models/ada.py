@@ -311,15 +311,30 @@ def apply_color(images, C):
 
 def augment(images, key, p, antialias=True, pad_frac=0.75):
     """Full ADA pipeline: geometric then color, each internally gated by p
-    (reference augment, non_leaking.py:431-435)."""
-    kg, kc = jax.random.split(key)
-    n, h, w, _ = images.shape
-    G = sample_affine_matrices(kg, n, p, h, w)
-    out = apply_affine(images, G, antialias=antialias, pad_frac=pad_frac)
-    if images.shape[-1] == 3:
-        C = sample_color_matrices(kc, n, p)
-        out = apply_color(out, C)
-    return out
+    (reference augment, non_leaking.py:431-435).
+
+    At p == 0 the whole pipeline is skipped via lax.cond: every gate is
+    closed, so the reference computes an identity transform the expensive
+    way (pad + sym6 up/down resample + warp, which the orthonormal filter
+    reconstructs exactly — module docstring). Skipping returns the input
+    itself: numerically equal (the warp machinery is the dominant cost of
+    a p=0 step — ~360 ms of the 733 ms StyleGAN2-256 fused step, profile
+    in docs/VALIDATION.md) and adaptive-ADA runs spend their whole warmup
+    there. When p > 0 the taken branch is the exact pre-existing pipeline
+    (bit-identical outputs, unchanged key stream)."""
+    p = jnp.asarray(p, jnp.float32)
+
+    def run(images):
+        kg, kc = jax.random.split(key)
+        n, h, w, _ = images.shape
+        G = sample_affine_matrices(kg, n, p, h, w)
+        out = apply_affine(images, G, antialias=antialias, pad_frac=pad_frac)
+        if images.shape[-1] == 3:
+            C = sample_color_matrices(kc, n, p)
+            out = apply_color(out, C)
+        return out
+
+    return jax.lax.cond(p > 0, run, lambda x: x, images)
 
 
 class AdaptiveAugment:

@@ -34,12 +34,16 @@ def _cdiv(a, b):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("taps", "kh", "kw", "c", "tile_h", "interpret"),
+    static_argnames=("taps", "kh", "kw", "c", "tile_h", "interpret", "sep"),
 )
 def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
-           interpret: bool = False):
+           interpret: bool = False, sep: bool = False):
     """Stride-1 valid correlation. xp: (N, Hp, Wp*C) with C innermost;
-    taps: kh*kw python floats (already flipped, row-major). Returns
+    taps: kh*kw python floats (already flipped, row-major) — or, with
+    sep=True, kh + kw floats (flipped y-factor then flipped x-factor of a
+    rank-1 kernel): the kernel then runs a y-pass followed by an x-pass
+    in-registers (kh+kw FMAs per element instead of kh*kw — 2x fewer for
+    the 4x4 blur — with no extra HBM round trip). Returns
     (N, Hp-kh+1, (Wp-kw+1)*C)."""
     n, hp, wpc = xp.shape
     wp = wpc // c
@@ -77,12 +81,23 @@ def _fir2d(xp, taps: tuple, kh: int, kw: int, c: int, tile_h: int = 16,
         )
         cp.start()
         cp.wait()
-        acc = None
-        for ky in range(kh):
+        if sep:
+            taps_y, taps_x = taps[:kh], taps[kh:kh + kw]
+            rows = None
+            for ky in range(kh):
+                term = scratch[ky : ky + tile_h, :] * taps_y[ky]
+                rows = term if rows is None else rows + term
+            acc = None
             for kx in range(kw):
-                tap = scratch[ky : ky + tile_h, kx * c : kx * c + owc_p]
-                term = tap * taps[ky * kw + kx]
+                term = rows[:, kx * c : kx * c + owc_p] * taps_x[kx]
                 acc = term if acc is None else acc + term
+        else:
+            acc = None
+            for ky in range(kh):
+                for kx in range(kw):
+                    tap = scratch[ky : ky + tile_h, kx * c : kx * c + owc_p]
+                    term = tap * taps[ky * kw + kx]
+                    acc = term if acc is None else acc + term
         o_ref[0] = acc
 
     out = pl.pallas_call(
@@ -182,7 +197,15 @@ def _upfirdn2d_pallas_raw(x, kernel, up, down, pad, tile_h=16,
 
     karr = np.asarray(kernel)
     kh, kw = karr.shape
-    taps = tuple(float(v) for v in karr[::-1, ::-1].reshape(-1))
+    from diagan_tpu.ops.upfirdn2d import _separate_kernel
+
+    factors = _separate_kernel(karr)
+    if factors is not None:
+        ky1, kx1 = factors
+        taps = tuple(float(v) for v in np.concatenate(
+            [ky1[::-1], kx1[::-1]]))
+    else:
+        taps = tuple(float(v) for v in karr[::-1, ::-1].reshape(-1))
 
     n, h, w, c = x.shape
     zero = jnp.zeros((), x.dtype)
@@ -197,7 +220,7 @@ def _upfirdn2d_pallas_raw(x, kernel, up, down, pad, tile_h=16,
     )
     zh, zw = z.shape[1], z.shape[2]
     y = _fir2d(z.reshape(n, zh, zw * c), taps, kh, kw, c, tile_h=tile_h,
-               interpret=interpret)
+               interpret=interpret, sep=factors is not None)
     oh = zh - kh + 1
     ow = zw - kw + 1
     y = y.reshape(n, oh, ow, c)

@@ -180,6 +180,35 @@ def _resolve_backend(kernel):
     return "pallas" if tpu_like else "xla"
 
 
+def _separate_kernel(kernel):
+    """(ky, kx) float32 1-D factors if `kernel` is a CONCRETE rank-1 2D
+    kernel with both dims > 1, else None. Factors are balanced
+    (ky = u*sqrt(s), kx = v*sqrt(s)) and sign-normalized so
+    outer(ky, kx) == kernel to float precision.
+
+    Used by the Pallas FIR core (fir_pallas._fir2d) to run kh+kw tap
+    passes instead of kh*kw INSIDE one kernel launch. Decomposing at
+    this dispatcher level instead (two full upfirdn2d calls) was
+    measured NET-SLOWER on the v5e: the FIR tap work halved (-50 ms on
+    the StyleGAN2-256 step) but each extra pass re-pays the zero-stuff
+    pad / lane-align / reshape layout round (+115 ms)."""
+    import jax.core
+
+    if isinstance(kernel, jax.core.Tracer):
+        return None
+    k = np.asarray(kernel, dtype=np.float32)
+    if k.ndim != 2 or k.shape[0] < 2 or k.shape[1] < 2:
+        return None
+    u, s, vt = np.linalg.svd(k)
+    if s[1] > 1e-6 * max(s[0], 1e-30):
+        return None
+    r = np.sqrt(s[0])
+    ky, kx = u[:, 0] * r, vt[0] * r
+    if ky.sum() < 0 and kx.sum() < 0:
+        ky, kx = -ky, -kx
+    return ky, kx
+
+
 def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     """Fused upsample-FIR-downsample on NHWC input.
 

@@ -126,3 +126,22 @@ def test_upfirdn2d_pallas_matches_oracle(up, down, pad, k1d):
     want = upfirdn2d_ref(np.asarray(x), np.asarray(k), up=up, down=down, pad=pad)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_separate_kernel_detection():
+    """Rank-1 2D kernels (every reference resample kernel) decompose into
+    1-D factors whose outer product reproduces them; rank-2 kernels and
+    already-1-D kernels are left alone."""
+    from diagan_tpu.ops.upfirdn2d import _separate_kernel
+
+    k = np.asarray(make_resample_kernel([1, 3, 3, 1]))
+    sep = _separate_kernel(k)
+    assert sep is not None
+    ky, kx = sep
+    np.testing.assert_allclose(np.outer(ky, kx), k, rtol=1e-6, atol=1e-7)
+
+    assert _separate_kernel(k * 4.0) is not None        # scaled (ToRGB skip)
+    assert _separate_kernel(k[:1, :]) is None           # 1-D row
+    assert _separate_kernel(k[:, :1]) is None           # 1-D col
+    rank2 = k + np.eye(4, dtype=np.float32) * 0.01
+    assert _separate_kernel(rank2) is None
