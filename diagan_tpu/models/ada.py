@@ -219,7 +219,73 @@ def _bilinear_gather(img, qy, qx):
     return top * (1 - fy) + bot * fy
 
 
-def apply_affine(images, G, antialias=True, pad_frac=0.75):
+def _polyphase_auto():
+    import os
+
+    # opt-out escape hatch; auto is TPU-only (the CPU/XLA fallback has no
+    # reason to phase-split)
+    flag = os.environ.get("DIAGAN_TPU_ADA_POLYPHASE", "1")
+    if flag == "0":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _apply_affine_polyphase(images, coef, P, win, k1):
+    """Antialiased resample with the 2-phase planar pipeline
+    (ops/ada_phase.py module docstring has the identities): the
+    2x-upsampled buffer is carried as two compact y-phase planes, the
+    warp consumes them directly and emits the four output-parity
+    quarter-grids, and the downsample is four stride-1 FIRs over those.
+    Same math as the interleaved path (only fp summation order differs:
+    x-pass-first up to ~1e-6 rel); avoids the zero-stuffed (2S, 2S)
+    intermediates and the NCHW relayouts around the warp that dominate
+    the interleaved path's cost at 256px (docs/VALIDATION.md round 3)."""
+    from diagan_tpu.ops.ada_phase import affine_gather_2phase
+
+    n, h, w, c = images.shape
+    pad_k = (len(k1) + 1) // 2  # 6
+    s = h + 2 * P
+    s2 = 2 * s
+
+    # planar entry: one small lane-crossing transpose at h (not 2S)
+    xp = images.transpose(0, 3, 1, 2)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (P, P), (P, P)), mode="reflect")
+    flat = xp.reshape(n * c, s, s, 1)
+
+    # x up-pass (interleaved lanes), then the two compact y-phase FIRs:
+    # x2[2m+phi, :] = sum_t b_phi[t] * A[m+t-d_phi, :]
+    kxf = k1[None, ::-1]
+    a_buf = upfirdn2d(flat, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
+    b0 = k1[0::2][::-1][:, None]   # given kernels are pre-flipped so the
+    b1 = k1[1::2][::-1][:, None]   # op's correlation applies b_phi
+    v0 = upfirdn2d(a_buf, b0, pad=(0, 0, 3, 2))
+    v1 = upfirdn2d(a_buf, b1, pad=(0, 0, 2, 3))
+
+    srp = -(-s // 8) * 8
+    slp = -(-s2 // 128) * 128
+    v0 = jnp.pad(v0.reshape(n, c, s, s2), ((0, 0), (0, 0), (0, srp - s),
+                                           (0, slp - s2)))
+    v1 = jnp.pad(v1.reshape(n, c, s, s2), ((0, 0), (0, 0), (0, srp - s),
+                                           (0, slp - s2)))
+    ys = affine_gather_2phase(v0, v1, coef, win, s2)
+
+    # polyphase downsample: down[o] = sum_t c0[t]*Y0[o+t-2]
+    #                                + sum_t c1[t]*Y1[o+t-3]
+    c_tap = (k1[10::-2], k1[11::-2])  # c0[t] = k[10-2t], c1[t] = k[11-2t]
+    d_off = (2, 3)
+    out = None
+    for idx, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        k2 = np.outer(c_tap[a][::-1], c_tap[b][::-1])
+        py0, px0 = d_off[a], d_off[b]
+        term = upfirdn2d(ys[idx], k2, pad=(px0, 5 - px0, py0, 5 - py0))
+        out = term if out is None else out + term
+    return out[:, 3:3 + h, 3:3 + w, :]
+
+
+def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None):
     """Apply per-sample affine matrices (output NDC -> input NDC via G^-1).
 
     antialias=True (default) is the reference pipeline
@@ -239,6 +305,13 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75):
 
     antialias=False is a single bilinear gather at 1x — cheaper, aliased;
     kept for ablation.
+
+    polyphase selects the 2-phase planar implementation of the same
+    resample (None = auto: on for TPU backends). It computes the same
+    math with the 2x buffer held as compact y-phase planes
+    (ops/ada_phase.py) — no zero-stuffed (2S, 2S) intermediates, no NCHW
+    relayouts around the warp; outputs differ from the interleaved path
+    only by fp32 summation order (~1e-6 rel).
     """
     n, h, w, c = images.shape
     Ginv = jnp.linalg.inv(G)
@@ -266,22 +339,17 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75):
 
     pad_k = (len(SYM6) + 1) // 2    # 6
     P = min(h - 1, int(pad_frac * h) + pad_k)  # static reflect pad (doc above)
-    xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
 
-    # 2x upsample with the flipped kernel; with S = h + 2P, pad (6,5) makes
-    # the output exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
-    x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
-    x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
-
-    # bilinear affine gather, restricted to the window the downsample's
-    # kept region actually reads: global 2x coords m in [2P-6, 2P+2h+6).
-    # With u(m) = (m + 0.5 - 2P)/h - 1 (output-pixel NDC, kernel center
-    # c = 5.5 — the residual asymmetric part of sym6's delay cancels
-    # between the flipped up pass and the unflipped down pass) and
-    # src = Ginv @ [ux, uy, 1], q = (src + 1)*h + 2P - 0.5 is AFFINE in
-    # the output indices (i, j): fold it into 6 per-image coefficients so
-    # the warp op (XLA gather fwd, Pallas scatter-as-matmul bwd on TPU —
-    # ops/warp_pallas.py) never materializes the grid.
+    # bilinear affine warp coefficients, restricted to the window the
+    # downsample's kept region actually reads: global 2x coords
+    # m in [2P-6, 2P+2h+6). With u(m) = (m + 0.5 - 2P)/h - 1
+    # (output-pixel NDC, kernel center c = 5.5 — the residual asymmetric
+    # part of sym6's delay cancels between the flipped up pass and the
+    # unflipped down pass) and src = Ginv @ [ux, uy, 1],
+    # q = (src + 1)*h + 2P - 0.5 is AFFINE in the output indices (i, j):
+    # fold it into 6 per-image coefficients so the warp op (XLA gather
+    # fwd, Pallas scatter-as-matmul bwd on TPU — ops/warp_pallas.py)
+    # never materializes the grid.
     m0 = 2 * P - pad_k
     win = 2 * h + 2 * pad_k
     beta = (m0 + 0.5 - 2 * P) / h - 1.0
@@ -293,6 +361,17 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75):
     bx = Ginv[:, 0, 0]
     cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta + Ginv[:, 0, 2] + 1.0) + off
     coef = jnp.stack([ay, by, cy, ax, bx, cx], -1)
+
+    if polyphase is None:
+        polyphase = _polyphase_auto()
+    if polyphase:
+        return _apply_affine_polyphase(images, coef, P, win, k1)
+
+    xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
+    # 2x upsample with the flipped kernel; with S = h + 2P, pad (6,5) makes
+    # the output exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
+    x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
+    x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
     y = affine_gather(x2, coef, win)
 
     # sym6 filter + 2x downsample; with window start m0 the kept original
