@@ -210,7 +210,7 @@ def _sg2_bench(size=256, batch=16, steps=10):
         log_every=steps, save_every=10**9, seed=0,
     )
     tr.train(start_step=0)  # compiles + warms the chunk program
-    chunk = tr._plain_chunks[steps]
+    chunk = tr._chunk_for(steps)
     args = (tr.g_state, tr.d_state, tr.d_drs_state, tr.g_ema, tr.pl_mean,
             jax.random.key(7), tr.ada_aug_p, jnp.int32(steps), tr.images)
     t0 = time.perf_counter()

@@ -388,19 +388,28 @@ def apply_color(images, C):
     return out[..., :3]
 
 
-def augment(images, key, p, antialias=True, pad_frac=0.75):
+def augment(images, key, p, antialias=True, pad_frac=0.75,
+            static_apply=None):
     """Full ADA pipeline: geometric then color, each internally gated by p
     (reference augment, non_leaking.py:431-435).
 
-    At p == 0 the whole pipeline is skipped via lax.cond: every gate is
-    closed, so the reference computes an identity transform the expensive
-    way (pad + sym6 up/down resample + warp, which the orthonormal filter
+    At p == 0 the whole pipeline is skipped: every gate is closed, so the
+    reference computes an identity transform the expensive way (pad +
+    sym6 up/down resample + warp, which the orthonormal filter
     reconstructs exactly — module docstring). Skipping returns the input
     itself: numerically equal (the warp machinery is the dominant cost of
     a p=0 step — ~360 ms of the 733 ms StyleGAN2-256 fused step, profile
     in docs/VALIDATION.md) and adaptive-ADA runs spend their whole warmup
-    there. When p > 0 the taken branch is the exact pre-existing pipeline
-    (bit-identical outputs, unchanged key stream)."""
+    there. When p > 0 the pipeline is the exact pre-existing one
+    (bit-identical outputs, unchanged key stream).
+
+    static_apply resolves the skip at TRACE time: True always runs the
+    pipeline, False always skips — for callers that know p's zero-ness on
+    the host per compiled program (the StyleGAN2 trainer selects a chunk
+    variant by `ada_aug_p > 0`, which both avoids dead branch code and
+    works around a platform fault where the fused 256px chunk crashed the
+    TPU worker when a runtime cond first took the augment branch).
+    None (default) keeps the runtime lax.cond on p > 0."""
     p = jnp.asarray(p, jnp.float32)
 
     def run(images):
@@ -411,8 +420,14 @@ def augment(images, key, p, antialias=True, pad_frac=0.75):
         if images.shape[-1] == 3:
             C = sample_color_matrices(kc, n, p)
             out = apply_color(out, C)
-        return out
+        # resampling promotes to fp32; return the caller's dtype so both
+        # paths (and lax.cond branches) agree for bf16 inputs too
+        return out.astype(images.dtype)
 
+    if static_apply is False:
+        return images
+    if static_apply is True:
+        return run(images)
     return jax.lax.cond(p > 0, run, lambda x: x, images)
 
 

@@ -87,6 +87,7 @@ class StyleGAN2Trainer:
         stream_data=None,
         hbm_data_budget=6 << 30,
         fuse_steps=True,
+        max_chunk=None,  # cap steps per fused dispatch (_next_boundary)
     ):
         # fuse_steps=False: dispatch D / DRS-D / R1 / G / path-reg as
         # SEPARATE jitted programs per step instead of one scanned chunk.
@@ -139,6 +140,7 @@ class StyleGAN2Trainer:
         self.save_every = save_every
         self.log_every = log_every
         self.logit_save_steps = logit_save_steps
+        self.max_chunk = int(max_chunk) if max_chunk else None
         self.save_logit_after = save_logit_after
         self.stop_save_logit_after = stop_save_logit_after
         self.seed = seed
@@ -286,299 +288,339 @@ class StyleGAN2Trainer:
             z2 = jax.random.normal(kz2, (bs, sd))
             return self._gen_apply(g_params, z1, z2, mixing_cutoff(kc), kn)
 
-        def d_step_for(disc, tx, weighted):
-            def step(d_state, g_params, key, ada_p, images, real_u8=None):
+        def build_variant(aug_live):
+            """Build the step set with the ADA resample statically
+            PRESENT (aug_live=True) or statically ABSENT (False).
+
+            The host selects the variant per chunk from ada_aug_p
+            (models/ada.py augment static_apply): no lax.cond on a
+            runtime p inside the scanned program — the XLA-native
+            shape for a chunk-constant decision, and the p=0 variant
+            carries zero augment code (round 3's lax.cond skip only
+            avoided executing it). The cond was also the initial
+            suspect for the fused-256 worker crashes at p > 0; the
+            bisection (scripts/probe_cond_pallas.py) exonerated it —
+            the platform kills device programs running much past a
+            minute, which ADA-live 100-step chunks exceed (see
+            max_chunk in _next_boundary).
+            """
+            def d_step_for(disc, tx, weighted):
+                def step(d_state, g_params, key, ada_p, images, real_u8=None):
+                    key = self._maybe_fold(key)
+                    kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
+                    if real_u8 is not None:  # host-streamed batch (uint8)
+                        real = real_u8.astype(jnp.float32) / 127.5 - 1.0
+                    else:
+                        real, _ = draw_batch(kdata, weighted, images)
+                    fake = jax.lax.stop_gradient(fakes(g_params, kfake))
+                    if self.use_augment:
+                        real_a = augment(real, kaug1, ada_p,
+                                         pad_frac=self.ada_pad_frac,
+                                         static_apply=aug_live)
+                        fake_a = augment(fake, kaug2, ada_p,
+                                         pad_frac=self.ada_pad_frac,
+                                         static_apply=aug_live)
+                    else:
+                        real_a, fake_a = real, fake
+
+                    def loss_fn(p):
+                        rp = self._disc_apply(disc, p, real_a)
+                        fp = self._disc_apply(disc, p, fake_a)
+                        return L.d_logistic_loss(rp, fp), (rp, fp)
+
+                    (loss, (rp, fp)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(d_state.params)
+                    grads = self._maybe_pmean(grads)
+                    updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
+                    params = optax.apply_updates(d_state.params, updates)
+                    return (
+                        NetState(params, {}, opt, d_state.step + 1),
+                        {"d": loss, "real_score": jnp.mean(rp),
+                         "fake_score": jnp.mean(fp),
+                         "sign_real": self._maybe_psum(jnp.sum(jnp.sign(rp)))},
+                    )
+                return step
+
+            def d_r1_for(disc, tx, weighted):
+                def step(d_state, key, ada_p, images, real_u8=None):
+                    key = self._maybe_fold(key)
+                    kdata, kaug = jax.random.split(key)
+                    if real_u8 is not None:
+                        real = real_u8.astype(jnp.float32) / 127.5 - 1.0
+                    else:
+                        real, _ = draw_batch(kdata, weighted, images)
+                    if self.use_augment:
+                        real = augment(real, kaug, ada_p,
+                                       pad_frac=self.ada_pad_frac,
+                                       static_apply=aug_live)
+
+                    def r1_fn(p):
+                        def score(x):
+                            return jnp.sum(self._disc_apply(disc, p, x))
+
+                        g = jax.grad(score)(real)
+                        pen = jnp.sum(g.reshape(bs, -1) ** 2) / bs
+                        # lazy-reg weighting (train_ffhq.py:255-258)
+                        return self.r1_weight / 2 * pen * self.d_reg_every, pen
+
+                    (loss, pen), grads = jax.value_and_grad(r1_fn, has_aux=True)(
+                        d_state.params
+                    )
+                    grads = self._maybe_pmean(grads)
+                    updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
+                    params = optax.apply_updates(d_state.params, updates)
+                    return NetState(params, {}, opt, d_state.step), {"r1": pen}
+                return step
+
+            d_plain = d_step_for(self.disc, self.tx_d, True)
+            drs_plain = (
+                d_step_for(self.drs_disc, self.tx_d, False)
+                if self.drs_disc is not None else None
+            )
+            d_r1_raw = d_r1_for(self.disc, self.tx_d, True)
+            drs_r1_raw = (
+                d_r1_for(self.drs_disc, self.tx_d, False)
+                if self.drs_disc is not None else None
+            )
+
+            def g_step(g_state, g_ema, d_params, key, ada_p):
                 key = self._maybe_fold(key)
-                kdata, kfake, kaug1, kaug2 = jax.random.split(key, 4)
-                if real_u8 is not None:  # host-streamed batch (uint8)
-                    real = real_u8.astype(jnp.float32) / 127.5 - 1.0
-                else:
-                    real, _ = draw_batch(kdata, weighted, images)
-                fake = jax.lax.stop_gradient(fakes(g_params, kfake))
-                if self.use_augment:
-                    real_a = augment(real, kaug1, ada_p,
-                                     pad_frac=self.ada_pad_frac)
-                    fake_a = augment(fake, kaug2, ada_p,
-                                     pad_frac=self.ada_pad_frac)
-                else:
-                    real_a, fake_a = real, fake
+                kfake, kaug = jax.random.split(key)
 
                 def loss_fn(p):
-                    rp = self._disc_apply(disc, p, real_a)
-                    fp = self._disc_apply(disc, p, fake_a)
-                    return L.d_logistic_loss(rp, fp), (rp, fp)
+                    fake = fakes(p, kfake)
+                    # the reference augments the fake before D scores it
+                    # (train_ffhq.py:265-266) — the generator gradient flows
+                    # THROUGH the augmentation; skipping it would let G train
+                    # against a D input distribution D itself never sees
+                    if self.use_augment:
+                        fake = augment(fake, kaug, ada_p,
+                                       pad_frac=self.ada_pad_frac,
+                                       static_apply=aug_live)
+                    fp = self._disc_apply(self.disc, d_params, fake)
+                    return L.g_nonsaturating_loss(fp)
 
-                (loss, (rp, fp)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(d_state.params)
+                loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
                 grads = self._maybe_pmean(grads)
-                updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
-                params = optax.apply_updates(d_state.params, updates)
+                updates, opt = self.tx_g.update(grads, g_state.opt_state,
+                                                g_state.params)
+                params = optax.apply_updates(g_state.params, updates)
+                g_ema = jax.tree.map(
+                    lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
+                )
                 return (
-                    NetState(params, {}, opt, d_state.step + 1),
-                    {"d": loss, "real_score": jnp.mean(rp),
-                     "fake_score": jnp.mean(fp),
-                     "sign_real": self._maybe_psum(jnp.sum(jnp.sign(rp)))},
+                    NetState(params, {}, opt, g_state.step + 1), g_ema, {"g": loss}
                 )
-            return step
 
-        def d_r1_for(disc, tx, weighted):
-            def step(d_state, key, ada_p, images, real_u8=None):
+            # Fused step (D [+DRS-D] [+R1] + G [+path reg] + EMA) scanned in
+            # chunks: on this platform each dispatch costs O(100ms)+, so the
+            # 3-6 programs/step of a naive loop dominate wall clock. The lazy
+            # regularizers fire inside the scan via lax.cond at the reference
+            # cadence and intra-step position (d -> r1 -> g -> path,
+            # reference train_ffhq.py:212-311), letting one dispatch cover
+            # the full stretch between logging boundaries.
+            def full_step(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                          ada_p, gstep, images, step_xs=None, r1_xs=None,
+                          r1_slot=None):
+                # step_xs: host-streamed per-step uint8 batches
+                # ({'d','drs'}), r1_xs: per-chunk r1 batch stacks
+                # [n_r1_max, bs, ...] indexed by r1_slot (only read inside the
+                # cond branch, so non-R1 steps never touch them)
+                xs_d = step_xs["d"] if step_xs is not None else None
+                xs_dd = step_xs.get("drs") if step_xs is not None else None
+                kd, kdd, kg, kr1, kpl = jax.random.split(key, 5)
+                d_state, dm = d_plain(d_state, g_state.params, kd, ada_p, images,
+                                      xs_d)
+                if drs_plain is not None:
+                    d_drs_state, _ = drs_plain(
+                        d_drs_state, g_state.params, kdd, ada_p, images, xs_dd
+                    )
+
+                def with_r1(args):
+                    d, dd = args
+                    r1_d = r1_dd = None
+                    if r1_xs is not None:
+                        r1_d = jnp.take(r1_xs["d"], r1_slot, axis=0)
+                        if "drs" in r1_xs:
+                            r1_dd = jnp.take(r1_xs["drs"], r1_slot, axis=0)
+                    d, rm = d_r1_raw(d, kr1, ada_p, images, r1_d)
+                    if drs_r1_raw is not None:
+                        dd, _ = drs_r1_raw(dd, kr1, ada_p, images, r1_dd)
+                    return d, dd, rm["r1"]
+
+                def no_r1(args):
+                    d, dd = args
+                    return d, dd, jnp.zeros(())
+
+                d_state, d_drs_state, r1_pen = jax.lax.cond(
+                    gstep % self.d_reg_every == 0, with_r1, no_r1,
+                    (d_state, d_drs_state),
+                )
+
+                g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg,
+                                            ada_p)
+
+                def with_path(args):
+                    g, ema, plm = args
+                    g, ema, new_m, pm = g_path_reg(g, ema, kpl, plm)
+                    return g, ema, new_m, pm["path"]
+
+                def no_path(args):
+                    g, ema, plm = args
+                    return g, ema, plm, jnp.zeros(())
+
+                g_state, g_ema, pl_mean, path_pen = jax.lax.cond(
+                    gstep % self.g_reg_every == 0, with_path, no_path,
+                    (g_state, g_ema, pl_mean),
+                )
+                metrics = {**dm, **gm, "r1": r1_pen, "path": path_pen}
+                return g_state, d_state, d_drs_state, g_ema, pl_mean, metrics
+
+
+            def make_chunk(n):
+                def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                          ada_p, start_step, images):
+                    def body(carry, i):
+                        g, d, dd, ema, plm = carry
+                        g, d, dd, ema, plm, m = full_step(
+                            g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                            ada_p, start_step + i, images,
+                        )
+                        return (g, d, dd, ema, plm), m
+
+                    (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
+                        jax.lax.scan(
+                            body,
+                            (g_state, d_state, d_drs_state, g_ema, pl_mean),
+                            jnp.arange(n, dtype=jnp.int32),
+                        )
+                    return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
+
+                return self._jit(chunk, 9)
+
+            def make_stream_chunk(n):
+                def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
+                          ada_p, start_step, step_xs, r1_xs):
+                    dre = self.d_reg_every
+                    first_slot_step = (start_step + dre - 1) // dre
+
+                    def body(carry, scanned):
+                        i, xs = scanned
+                        g, d, dd, ema, plm = carry
+                        gstep = start_step + i
+                        slot = jnp.clip(gstep // dre - first_slot_step, 0, None)
+                        g, d, dd, ema, plm, m = full_step(
+                            g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                            ada_p, gstep, None, xs, r1_xs, slot,
+                        )
+                        return (g, d, dd, ema, plm), m
+
+                    (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
+                        jax.lax.scan(
+                            body,
+                            (g_state, d_state, d_drs_state, g_ema, pl_mean),
+                            (jnp.arange(n, dtype=jnp.int32), step_xs),
+                        )
+                    return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
+
+                return self._jit(chunk, 10, data_args=(8, 9))
+
+
+            def g_path_reg(g_state, g_ema, key, pl_mean):
                 key = self._maybe_fold(key)
-                kdata, kaug = jax.random.split(key)
-                if real_u8 is not None:
-                    real = real_u8.astype(jnp.float32) / 127.5 - 1.0
-                else:
-                    real, _ = draw_batch(kdata, weighted, images)
-                if self.use_augment:
-                    real = augment(real, kaug, ada_p,
-                                   pad_frac=self.ada_pad_frac)
+                pbs = max(1, bs // self.path_batch_shrink)
+                kz, kn, knoise = jax.random.split(key, 3)
+                z = jax.random.normal(kz, (pbs, sd))
 
-                def r1_fn(p):
-                    def score(x):
-                        return jnp.sum(self._disc_apply(disc, p, x))
+                def gen_from_w_loss(p):
+                    w = self.gen.apply({"params": p}, z,
+                                       method=lambda m, z: m.mapping(z))
+                    styles = jnp.repeat(w[:, None, :], self.n_latent, axis=1)
 
-                    g = jax.grad(score)(real)
-                    pen = jnp.sum(g.reshape(bs, -1) ** 2) / bs
-                    # lazy-reg weighting (train_ffhq.py:255-258)
-                    return self.r1_weight / 2 * pen * self.d_reg_every, pen
+                    def synth(styles):
+                        return self.gen.apply(
+                            {"params": p}, styles,
+                            method=lambda m, s: m.synthesis(s),
+                            rngs={"noise": knoise},
+                        )
 
-                (loss, pen), grads = jax.value_and_grad(r1_fn, has_aux=True)(
-                    d_state.params
-                )
+                    imgs, vjp_fn = jax.vjp(synth, styles)
+                    h, wd = imgs.shape[1], imgs.shape[2]
+                    noise = jax.random.normal(kn, imgs.shape) / math.sqrt(h * wd)
+                    (grads_w,) = vjp_fn(noise)
+                    lengths = jnp.sqrt(
+                        jnp.sum(grads_w**2, axis=(1, 2)) + 1e-12
+                    )
+                    new_mean = pl_mean + 0.01 * (jnp.mean(lengths) - pl_mean)
+                    penalty = jnp.mean((lengths - new_mean) ** 2)
+                    weighted = (
+                        self.path_regularize * self.g_reg_every * penalty
+                        # keep a live dependence on outputs (reference adds
+                        # 0 * fake[0,0,0,0], train_ffhq.py:294)
+                        + 0.0 * jnp.sum(imgs[:1])
+                    )
+                    return weighted, (penalty, lengths, new_mean)
+
+                (loss, (pen, lengths, new_mean)), grads = jax.value_and_grad(
+                    gen_from_w_loss, has_aux=True
+                )(g_state.params)
                 grads = self._maybe_pmean(grads)
-                updates, opt = tx.update(grads, d_state.opt_state, d_state.params)
-                params = optax.apply_updates(d_state.params, updates)
-                return NetState(params, {}, opt, d_state.step), {"r1": pen}
-            return step
-
-        d_plain = d_step_for(self.disc, self.tx_d, True)
-        drs_plain = (
-            d_step_for(self.drs_disc, self.tx_d, False)
-            if self.drs_disc is not None else None
-        )
-        d_r1_raw = d_r1_for(self.disc, self.tx_d, True)
-        drs_r1_raw = (
-            d_r1_for(self.drs_disc, self.tx_d, False)
-            if self.drs_disc is not None else None
-        )
-
-        def g_step(g_state, g_ema, d_params, key, ada_p):
-            key = self._maybe_fold(key)
-            kfake, kaug = jax.random.split(key)
-
-            def loss_fn(p):
-                fake = fakes(p, kfake)
-                # the reference augments the fake before D scores it
-                # (train_ffhq.py:265-266) — the generator gradient flows
-                # THROUGH the augmentation; skipping it would let G train
-                # against a D input distribution D itself never sees
-                if self.use_augment:
-                    fake = augment(fake, kaug, ada_p,
-                                   pad_frac=self.ada_pad_frac)
-                fp = self._disc_apply(self.disc, d_params, fake)
-                return L.g_nonsaturating_loss(fp)
-
-            loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
-            grads = self._maybe_pmean(grads)
-            updates, opt = self.tx_g.update(grads, g_state.opt_state,
-                                            g_state.params)
-            params = optax.apply_updates(g_state.params, updates)
-            g_ema = jax.tree.map(
-                lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
-            )
-            return (
-                NetState(params, {}, opt, g_state.step + 1), g_ema, {"g": loss}
-            )
-
-        # Fused step (D [+DRS-D] [+R1] + G [+path reg] + EMA) scanned in
-        # chunks: on this platform each dispatch costs O(100ms)+, so the
-        # 3-6 programs/step of a naive loop dominate wall clock. The lazy
-        # regularizers fire inside the scan via lax.cond at the reference
-        # cadence and intra-step position (d -> r1 -> g -> path,
-        # reference train_ffhq.py:212-311), letting one dispatch cover
-        # the full stretch between logging boundaries.
-        def full_step(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, gstep, images, step_xs=None, r1_xs=None,
-                      r1_slot=None):
-            # step_xs: host-streamed per-step uint8 batches
-            # ({'d','drs'}), r1_xs: per-chunk r1 batch stacks
-            # [n_r1_max, bs, ...] indexed by r1_slot (only read inside the
-            # cond branch, so non-R1 steps never touch them)
-            xs_d = step_xs["d"] if step_xs is not None else None
-            xs_dd = step_xs.get("drs") if step_xs is not None else None
-            kd, kdd, kg, kr1, kpl = jax.random.split(key, 5)
-            d_state, dm = d_plain(d_state, g_state.params, kd, ada_p, images,
-                                  xs_d)
-            if drs_plain is not None:
-                d_drs_state, _ = drs_plain(
-                    d_drs_state, g_state.params, kdd, ada_p, images, xs_dd
+                updates, opt = self.tx_g.update(grads, g_state.opt_state,
+                                                g_state.params)
+                params = optax.apply_updates(g_state.params, updates)
+                g_ema = jax.tree.map(
+                    lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
+                )
+                return (
+                    NetState(params, {}, opt, g_state.step), g_ema, new_mean,
+                    {"path": pen, "path_length": jnp.mean(lengths)},
                 )
 
-            def with_r1(args):
-                d, dd = args
-                r1_d = r1_dd = None
-                if r1_xs is not None:
-                    r1_d = jnp.take(r1_xs["d"], r1_slot, axis=0)
-                    if "drs" in r1_xs:
-                        r1_dd = jnp.take(r1_xs["drs"], r1_slot, axis=0)
-                d, rm = d_r1_raw(d, kr1, ada_p, images, r1_d)
-                if drs_r1_raw is not None:
-                    dd, _ = drs_r1_raw(dd, kr1, ada_p, images, r1_dd)
-                return d, dd, rm["r1"]
+            uf = None
+            if not self.fuse:
+                # separate per-piece programs (compile-service-friendly); the
+                # RNG stream (fold_in per step, 5-way split, kd/kdd/kg/kr1/kpl)
+                # matches the fused chunk exactly. State args are donated —
+                # without aliasing, each piece holds a second params+optimizer
+                # copy, which alone overflowed HBM at 256px batch 64 (by 90MB)
+                uf = {
+                    "d": jax.jit(d_plain, donate_argnums=0),
+                    "drs": (
+                        jax.jit(drs_plain, donate_argnums=0)
+                        if drs_plain is not None else None
+                    ),
+                    "d_r1": jax.jit(d_r1_raw, donate_argnums=0),
+                    "drs_r1": (
+                        jax.jit(drs_r1_raw, donate_argnums=0)
+                        if drs_r1_raw is not None else None
+                    ),
+                    "g": jax.jit(g_step, donate_argnums=(0, 1)),
+                    "path": jax.jit(g_path_reg, donate_argnums=(0, 1)),
+                }
 
-            def no_r1(args):
-                d, dd = args
-                return d, dd, jnp.zeros(())
+            return {"make_chunk": make_chunk,
+                    "make_stream_chunk": make_stream_chunk,
+                    "uf": uf}
 
-            d_state, d_drs_state, r1_pen = jax.lax.cond(
-                gstep % self.d_reg_every == 0, with_r1, no_r1,
-                (d_state, d_drs_state),
-            )
+        self._plain_chunks = {}  # keyed (n, aug_live)
+        self._variants = {}
 
-            g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg,
-                                        ada_p)
+        def variant(live):
+            if live not in self._variants:
+                self._variants[live] = build_variant(live)
+            return self._variants[live]
 
-            def with_path(args):
-                g, ema, plm = args
-                g, ema, new_m, pm = g_path_reg(g, ema, kpl, plm)
-                return g, ema, new_m, pm["path"]
+        self._variant = variant
 
-            def no_path(args):
-                g, ema, plm = args
-                return g, ema, plm, jnp.zeros(())
+        def _mk(n, live=False):
+            return variant(live)["make_chunk"](n)
 
-            g_state, g_ema, pl_mean, path_pen = jax.lax.cond(
-                gstep % self.g_reg_every == 0, with_path, no_path,
-                (g_state, g_ema, pl_mean),
-            )
-            metrics = {**dm, **gm, "r1": r1_pen, "path": path_pen}
-            return g_state, d_state, d_drs_state, g_ema, pl_mean, metrics
+        def _mks(n, live=False):
+            return variant(live)["make_stream_chunk"](n)
 
-        self._plain_chunks = {}
-
-        def make_chunk(n):
-            def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, start_step, images):
-                def body(carry, i):
-                    g, d, dd, ema, plm = carry
-                    g, d, dd, ema, plm, m = full_step(
-                        g, d, dd, ema, plm, jax.random.fold_in(key, i),
-                        ada_p, start_step + i, images,
-                    )
-                    return (g, d, dd, ema, plm), m
-
-                (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
-                    jax.lax.scan(
-                        body,
-                        (g_state, d_state, d_drs_state, g_ema, pl_mean),
-                        jnp.arange(n, dtype=jnp.int32),
-                    )
-                return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
-
-            return self._jit(chunk, 9)
-
-        def make_stream_chunk(n):
-            def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
-                      ada_p, start_step, step_xs, r1_xs):
-                dre = self.d_reg_every
-                first_slot_step = (start_step + dre - 1) // dre
-
-                def body(carry, scanned):
-                    i, xs = scanned
-                    g, d, dd, ema, plm = carry
-                    gstep = start_step + i
-                    slot = jnp.clip(gstep // dre - first_slot_step, 0, None)
-                    g, d, dd, ema, plm, m = full_step(
-                        g, d, dd, ema, plm, jax.random.fold_in(key, i),
-                        ada_p, gstep, None, xs, r1_xs, slot,
-                    )
-                    return (g, d, dd, ema, plm), m
-
-                (g_state, d_state, d_drs_state, g_ema, pl_mean), ms = \
-                    jax.lax.scan(
-                        body,
-                        (g_state, d_state, d_drs_state, g_ema, pl_mean),
-                        (jnp.arange(n, dtype=jnp.int32), step_xs),
-                    )
-                return g_state, d_state, d_drs_state, g_ema, pl_mean, ms
-
-            return self._jit(chunk, 10, data_args=(8, 9))
-
-        self._make_chunk = make_chunk
-        self._make_stream_chunk = make_stream_chunk
-
-        def g_path_reg(g_state, g_ema, key, pl_mean):
-            key = self._maybe_fold(key)
-            pbs = max(1, bs // self.path_batch_shrink)
-            kz, kn, knoise = jax.random.split(key, 3)
-            z = jax.random.normal(kz, (pbs, sd))
-
-            def gen_from_w_loss(p):
-                w = self.gen.apply({"params": p}, z,
-                                   method=lambda m, z: m.mapping(z))
-                styles = jnp.repeat(w[:, None, :], self.n_latent, axis=1)
-
-                def synth(styles):
-                    return self.gen.apply(
-                        {"params": p}, styles,
-                        method=lambda m, s: m.synthesis(s),
-                        rngs={"noise": knoise},
-                    )
-
-                imgs, vjp_fn = jax.vjp(synth, styles)
-                h, wd = imgs.shape[1], imgs.shape[2]
-                noise = jax.random.normal(kn, imgs.shape) / math.sqrt(h * wd)
-                (grads_w,) = vjp_fn(noise)
-                lengths = jnp.sqrt(
-                    jnp.sum(grads_w**2, axis=(1, 2)) + 1e-12
-                )
-                new_mean = pl_mean + 0.01 * (jnp.mean(lengths) - pl_mean)
-                penalty = jnp.mean((lengths - new_mean) ** 2)
-                weighted = (
-                    self.path_regularize * self.g_reg_every * penalty
-                    # keep a live dependence on outputs (reference adds
-                    # 0 * fake[0,0,0,0], train_ffhq.py:294)
-                    + 0.0 * jnp.sum(imgs[:1])
-                )
-                return weighted, (penalty, lengths, new_mean)
-
-            (loss, (pen, lengths, new_mean)), grads = jax.value_and_grad(
-                gen_from_w_loss, has_aux=True
-            )(g_state.params)
-            grads = self._maybe_pmean(grads)
-            updates, opt = self.tx_g.update(grads, g_state.opt_state,
-                                            g_state.params)
-            params = optax.apply_updates(g_state.params, updates)
-            g_ema = jax.tree.map(
-                lambda e, p: e * EMA_DECAY + p * (1 - EMA_DECAY), g_ema, params
-            )
-            return (
-                NetState(params, {}, opt, g_state.step), g_ema, new_mean,
-                {"path": pen, "path_length": jnp.mean(lengths)},
-            )
-
-        self._uf = None
-        if not self.fuse:
-            # separate per-piece programs (compile-service-friendly); the
-            # RNG stream (fold_in per step, 5-way split, kd/kdd/kg/kr1/kpl)
-            # matches the fused chunk exactly. State args are donated —
-            # without aliasing, each piece holds a second params+optimizer
-            # copy, which alone overflowed HBM at 256px batch 64 (by 90MB)
-            self._uf = {
-                "d": jax.jit(d_plain, donate_argnums=0),
-                "drs": (
-                    jax.jit(drs_plain, donate_argnums=0)
-                    if drs_plain is not None else None
-                ),
-                "d_r1": jax.jit(d_r1_raw, donate_argnums=0),
-                "drs_r1": (
-                    jax.jit(drs_r1_raw, donate_argnums=0)
-                    if drs_r1_raw is not None else None
-                ),
-                "g": jax.jit(g_step, donate_argnums=(0, 1)),
-                "path": jax.jit(g_path_reg, donate_argnums=(0, 1)),
-            }
+        self._make_chunk = _mk
+        self._make_stream_chunk = _mks
 
     def _host_batch(self, weighted):
         """One (bs,)-batch of uint8 reals gathered on host (stream mode)."""
@@ -588,6 +630,19 @@ class StyleGAN2Trainer:
             idx = self._u_rng.integers(0, self.num_data, self.batch_size)
         return jnp.asarray(self._gather(self.images_np, idx))
 
+    def _aug_live(self):
+        """Host-side per-chunk selection of the augment-program variant
+        (ada_aug_p is chunk-constant; see build_variant)."""
+        return bool(self.use_augment and self.ada_aug_p > 0)
+
+    def _chunk_for(self, n):
+        key = (n, self._aug_live())
+        if key not in self._plain_chunks:
+            mk = (self._make_stream_chunk if self.stream
+                  else self._make_chunk)
+            self._plain_chunks[key] = mk(n, key[1])
+        return self._plain_chunks[key]
+
     def _run_unfused(self, key, start_step, n):
         """n steps as separate dispatches; returns the same stacked-metrics
         dict shape the fused chunk produces. In stream mode each piece gets
@@ -595,6 +650,7 @@ class StyleGAN2Trainer:
         dispatches are async, so gathers overlap device compute."""
         out = {k: [] for k in ("d", "real_score", "fake_score", "sign_real",
                                "g", "r1", "path")}
+        uf = self._variant(self._aug_live())["uf"]
         images = None if self.stream else self.images
 
         def real_kw(weighted):
@@ -606,34 +662,34 @@ class StyleGAN2Trainer:
             gstep = start_step + i
             k = jax.random.fold_in(key, i)
             kd, kdd, kg, kr1, kpl = jax.random.split(k, 5)
-            self.d_state, dm = self._uf["d"](
+            self.d_state, dm = uf["d"](
                 self.d_state, self.g_state.params, kd, self.ada_aug_p,
                 images, **real_kw(True),
             )
-            if self._uf["drs"] is not None:
-                self.d_drs_state, _ = self._uf["drs"](
+            if uf["drs"] is not None:
+                self.d_drs_state, _ = uf["drs"](
                     self.d_drs_state, self.g_state.params, kdd,
                     self.ada_aug_p, images, **real_kw(False),
                 )
             if gstep % self.d_reg_every == 0:
-                self.d_state, rm = self._uf["d_r1"](
+                self.d_state, rm = uf["d_r1"](
                     self.d_state, kr1, self.ada_aug_p, images,
                     **real_kw(True),
                 )
-                if self._uf["drs_r1"] is not None:
-                    self.d_drs_state, _ = self._uf["drs_r1"](
+                if uf["drs_r1"] is not None:
+                    self.d_drs_state, _ = uf["drs_r1"](
                         self.d_drs_state, kr1, self.ada_aug_p, images,
                         **real_kw(False),
                     )
                 r1v = rm["r1"]
             else:
                 r1v = 0.0
-            self.g_state, self.g_ema, gm = self._uf["g"](
+            self.g_state, self.g_ema, gm = uf["g"](
                 self.g_state, self.g_ema, self.d_state.params, kg,
                 self.ada_aug_p,
             )
             if gstep % self.g_reg_every == 0:
-                self.g_state, self.g_ema, self.pl_mean, pm = self._uf["path"](
+                self.g_state, self.g_ema, self.pl_mean, pm = uf["path"](
                     self.g_state, self.g_ema, kpl, self.pl_mean,
                 )
                 pathv = pm["path"]
@@ -885,6 +941,15 @@ class StyleGAN2Trainer:
         nxt = self.num_steps
         for p_ in periods:
             nxt = min(nxt, (step // p_ + 1) * p_)
+        if self.max_chunk:
+            # dispatch-length cap: the axon worker kills device programs
+            # that run much past ~a minute (docs/VALIDATION.md round 3),
+            # so long stretches between boundaries are split into
+            # max_chunk-step dispatches. Chunk start positions are a
+            # deterministic function of the absolute step, so resume
+            # stays bitwise-deterministic for a fixed max_chunk (the
+            # per-chunk RNG fold-in is keyed by the chunk's start step)
+            nxt = min(nxt, (step // self.max_chunk + 1) * self.max_chunk)
         return nxt
 
     def train(self, start_step=0):
@@ -935,22 +1000,18 @@ class StyleGAN2Trainer:
                 metrics = self._chunk_metrics(ms)
                 self._after_chunk(step, metrics)
                 continue
-            if n not in self._plain_chunks:
-                self._plain_chunks[n] = (
-                    self._make_stream_chunk(n) if self.stream
-                    else self._make_chunk(n)
-                )
+            chunk = self._chunk_for(n)
             if self.stream:
                 step_xs, r1_xs = self._host_stacks(step, n)
                 (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-                 self.pl_mean, ms) = self._plain_chunks[n](
+                 self.pl_mean, ms) = chunk(
                     self.g_state, self.d_state, self.d_drs_state, self.g_ema,
                     self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
                     step_xs, r1_xs,
                 )
             else:
                 (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-                 self.pl_mean, ms) = self._plain_chunks[n](
+                 self.pl_mean, ms) = chunk(
                     self.g_state, self.d_state, self.d_drs_state, self.g_ema,
                     self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
                     self.images,

@@ -47,7 +47,7 @@ def probe(size, batch, remat, bf16, steps=20):
     # steady state: retime the last chunk-shape program
     key = jax.random.key(7)
     t0 = time.perf_counter()
-    out = tr._plain_chunks[steps](
+    out = tr._chunk_for(steps)(
         tr.g_state, tr.d_state, tr.d_drs_state, tr.g_ema, tr.pl_mean,
         key, tr.ada_aug_p, jnp.int32(steps), tr.images,
     )

@@ -55,19 +55,19 @@ def main():
     )
     k = jax.random.key(0)
     f = {}
-    f["d"] = flops_of(tr._uf["d"], tr.d_state, tr.g_state.params, k,
+    f["d"] = flops_of(tr._variant(tr._aug_live())["uf"]["d"], tr.d_state, tr.g_state.params, k,
                       tr.ada_aug_p, tr.images)
-    f["drs"] = (flops_of(tr._uf["drs"], tr.d_drs_state, tr.g_state.params,
+    f["drs"] = (flops_of(tr._variant(tr._aug_live())["uf"]["drs"], tr.d_drs_state, tr.g_state.params,
                          k, tr.ada_aug_p, tr.images)
-                if tr._uf["drs"] is not None else 0.0)
-    f["d_r1"] = flops_of(tr._uf["d_r1"], tr.d_state, k, tr.ada_aug_p,
+                if tr._variant(tr._aug_live())["uf"]["drs"] is not None else 0.0)
+    f["d_r1"] = flops_of(tr._variant(tr._aug_live())["uf"]["d_r1"], tr.d_state, k, tr.ada_aug_p,
                          tr.images)
-    f["drs_r1"] = (flops_of(tr._uf["drs_r1"], tr.d_drs_state, k,
+    f["drs_r1"] = (flops_of(tr._variant(tr._aug_live())["uf"]["drs_r1"], tr.d_drs_state, k,
                             tr.ada_aug_p, tr.images)
-                   if tr._uf["drs_r1"] is not None else 0.0)
-    f["g"] = flops_of(tr._uf["g"], tr.g_state, tr.g_ema, tr.d_state.params,
+                   if tr._variant(tr._aug_live())["uf"]["drs_r1"] is not None else 0.0)
+    f["g"] = flops_of(tr._variant(tr._aug_live())["uf"]["g"], tr.g_state, tr.g_ema, tr.d_state.params,
                       k, tr.ada_aug_p)
-    f["path"] = flops_of(tr._uf["path"], tr.g_state, tr.g_ema, k, tr.pl_mean)
+    f["path"] = flops_of(tr._variant(tr._aug_live())["uf"]["path"], tr.g_state, tr.g_ema, k, tr.pl_mean)
 
     for n, v in f.items():
         print(f"{n:8s} {v/1e9:10.1f} GFLOP")

@@ -74,6 +74,10 @@ def build_parser():
     # fused scan — for very large configs (256px batch>=64, 1024px
     # batch>=8) whose fused program the compile service rejects
     parser.add_argument("--no_fuse", action="store_true")
+    # additive: cap steps per fused dispatch — the axon worker kills
+    # device programs running much past ~a minute, so ADA-live 256px
+    # chunks need n*step_time under that (docs/VALIDATION.md round 3)
+    parser.add_argument("--max_chunk", default=None, type=int)
     # additive: data-parallel training over all visible devices
     # (jax.sharding mesh; replaces the reference's torch.distributed.launch
     # + DDP/NCCL path, train_ffhq.py:500-585). --batch stays PER-DEVICE,
@@ -143,6 +147,7 @@ def make_trainer(args, sample_weights=None, drs=False, r1=None):
         seed=args.seed,
         stream_data=True if args.stream_data else None,
         fuse_steps=not getattr(args, "no_fuse", False),
+        max_chunk=getattr(args, "max_chunk", None),
     )
     start = 0
     if args.ckpt:

@@ -65,7 +65,7 @@ MIMICRY_TRAIN_ADDITIVE = COMMON_TRAIN_ADDITIVE | {"--no_schedule_override"}
 PHASE2_ADDITIVE = MIMICRY_TRAIN_ADDITIVE | {"--normalize_logits"}
 STYLEGAN2_ADDITIVE = {
     "--bf16", "--remat", "--no_fuse", "--stream_data", "--data_parallel",
-    "--save_every", "--auto_resume", "--ada_pad_frac",
+    "--save_every", "--auto_resume", "--ada_pad_frac", "--max_chunk",
 }
 ADDITIVE = {
     "train_mimicry_phase1.py": MIMICRY_TRAIN_ADDITIVE,

@@ -133,20 +133,25 @@ def test_g_step_augments_fake_and_static_off_compiles_out(tmp_path):
     # "compiled out" means the PROGRAM no longer contains the warp: the
     # affine resample inverts the 3x3 transform batch (jnp.linalg.inv ->
     # lu/triangular_solve primitives), which nothing else in the D step
-    # uses — assert on the traced jaxpr, not just the Python flags
-    def d_jaxpr(p):
+    # uses — assert on the traced jaxpr, not just the Python flags.
+    # The host picks the program variant per chunk from ada_aug_p
+    # (build_variant): the live variant carries the warp, the p==0
+    # variant (and the augment-off trainer) must not.
+    def d_jaxpr(p, live):
         t = StyleGAN2Trainer(
-            tmp_path / f"jx{p}", StyleGAN2Generator(size=16),
+            tmp_path / f"jx{p}_{live}", StyleGAN2Generator(size=16),
             StyleGAN2Discriminator(size=16), imgs, num_steps=1,
             batch_size=2, log_every=1, save_every=10000, augment_p=p,
             fuse_steps=False,
         )
+        uf = t._variant(live)["uf"]
         return str(jax.make_jaxpr(
-            lambda d, gp, k, ap, im: t._uf["d"](d, gp, k, ap, im)
+            lambda d, gp, k, ap, im: uf["d"](d, gp, k, ap, im)
         )(t.d_state, t.g_state.params, jax.random.key(0), 0.0, t.images))
 
-    assert "triangular_solve" in d_jaxpr(0.0)
-    assert "triangular_solve" not in d_jaxpr(None)
+    assert "triangular_solve" in d_jaxpr(0.0, True)
+    assert "triangular_solve" not in d_jaxpr(0.0, False)
+    assert "triangular_solve" not in d_jaxpr(None, False)
 
 
 def test_adaptive_ada_p_survives_resume(tmp_path):
@@ -188,14 +193,16 @@ def test_adaptive_ada_p_survives_resume(tmp_path):
         fuse_steps=False,
     )
     k = jax.random.key(3)
-    g0, _, _ = tr._uf["g"](tr.g_state, tr.g_ema, tr.d_state.params, k, 0.0)
+    g0, _, _ = tr._variant(False)["uf"]["g"](
+        tr.g_state, tr.g_ema, tr.d_state.params, k, 0.0)
     tr2 = StyleGAN2Trainer(
         tmp_path / "iso2", StyleGAN2Generator(size=16),
         StyleGAN2Discriminator(size=16), imgs, num_steps=1,
         batch_size=2, log_every=1, save_every=10000, augment_p=1.0,
         fuse_steps=False,
     )
-    g1, _, _ = tr2._uf["g"](tr2.g_state, tr2.g_ema, tr2.d_state.params, k, 1.0)
+    g1, _, _ = tr2._variant(True)["uf"]["g"](
+        tr2.g_state, tr2.g_ema, tr2.d_state.params, k, 1.0)
     assert any(
         float(jnp.abs(x - y).max()) > 1e-7
         for x, y in zip(jax.tree.leaves(g0.params), jax.tree.leaves(g1.params))
