@@ -222,10 +222,16 @@ def _bilinear_gather(img, qy, qx):
 def _polyphase_auto():
     import os
 
-    # opt-out escape hatch; auto is TPU-only (the CPU/XLA fallback has no
-    # reason to phase-split)
-    flag = os.environ.get("DIAGAN_TPU_ADA_POLYPHASE", "1")
-    if flag == "0":
+    # Opt-in (DIAGAN_TPU_ADA_POLYPHASE=1, TPU backends only): measured
+    # SLOWER than the interleaved path at FFHQ-256 on the v5e — 731 vs
+    # 649 ms/step inside the ADA-live fused chunk, 117 vs 91 ms
+    # standalone fwd — the per-FIR-call pad/slice plumbing (8 launches
+    # vs 4) outweighs the structural saving (no zero-stuffed (2S, 2S)
+    # buffers, no NCHW relayouts, half the FIR FMAs). Kept as a correct,
+    # adjoint-exact alternative (tests/test_ada_phase.py) in case the
+    # plumbing is ever fused; docs/ROADMAP.md records the measurement.
+    flag = os.environ.get("DIAGAN_TPU_ADA_POLYPHASE", "0")
+    if flag != "1":
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
