@@ -89,7 +89,8 @@ def test_gather2_phase_split_matches_plain_gather():
                                    rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("h", [32, 64])
+@pytest.mark.parametrize(
+    "h", [32, pytest.param(64, marks=pytest.mark.slow)])
 def test_polyphase_pipeline_matches_interleaved(h):
     """Full apply_affine: polyphase vs the interleaved path on random
     affine draws (values)."""
