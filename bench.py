@@ -169,10 +169,14 @@ def _run():
         # compile + warm-up + gamma estimate; uint8 transfer = the
         # optimized eval path (docs/VALIDATION.md "DRS sampling rate")
         sampler.generate_images(2048, return_uint8=True)
-        # a large quota amortizes the per-dispatch cost the same way the
-        # 50k-sample eval runs do (VALIDATION.md "DRS sampling rate" was
-        # measured at a 50k accepted quota; small quotas under-report)
-        n = 24576
+        # the documented methodology is the 50k accepted quota — the same
+        # shape as the reference's 50k-fake FID evals (VALIDATION.md "DRS
+        # sampling rate"). Round 3 benched a 24,576 quota and reported
+        # 1532.8 vs the documented 2171 samples/s; the round-4
+        # reconciliation (scripts/probe_drs_quota.py, VALIDATION.md) found
+        # the gap is quota amortization + tunnel variance, so bench now
+        # uses the 50k methodology itself.
+        n = 50000
         t0 = time.perf_counter()
         imgs = sampler.generate_images(n, return_uint8=True)
         assert len(imgs) == n
@@ -188,7 +192,44 @@ def _run():
         print(f"WARN: no StyleGAN2 bench ({type(e).__name__}: {e})",
               file=sys.stderr)
 
+    _compare_with_previous(out)
     print(json.dumps(out))
+
+
+def _compare_with_previous(out, threshold=0.10, root=None):
+    """Cross-round regression guard: diff this run's numeric fields against
+    the newest BENCH_r*.json (the driver's record of the previous round)
+    and print a LOUD stderr warning on any >threshold regression. Fields
+    containing 'ms_per_step' are lower-is-better; everything else
+    higher-is-better. Adds prev_bench/regressions to the JSON line so the
+    comparison is part of the round artifact."""
+    import glob
+    from pathlib import Path
+
+    cands = sorted(glob.glob(str(Path(root or Path(__file__).parent)
+                                 / "BENCH_r*.json")))
+    if not cands:
+        return
+    try:
+        prev = json.loads(Path(cands[-1]).read_text()).get("parsed") or {}
+    except Exception:
+        return
+    regressions = []
+    for key, val in out.items():
+        pv = prev.get(key)
+        if not isinstance(val, (int, float)) or not isinstance(pv, (int, float)):
+            continue
+        if pv == 0:
+            continue
+        lower_better = "ms_per_step" in key
+        change = (val - pv) / abs(pv)
+        if (change > threshold) if lower_better else (change < -threshold):
+            regressions.append(f"{key}: {pv} -> {val}")
+    out["prev_bench"] = Path(cands[-1]).name
+    out["regressions"] = regressions
+    if regressions:
+        print("WARN: BENCH REGRESSION vs " + Path(cands[-1]).name + ": "
+              + "; ".join(regressions), file=sys.stderr)
 
 
 def _sg2_bench(size=256, batch=16, steps=10):
@@ -208,6 +249,10 @@ def _sg2_bench(size=256, batch=16, steps=10):
         StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
         imgs, num_steps=steps, batch_size=batch,
         log_every=steps, save_every=10**9, seed=0,
+        # explicit: one steps-length program; keeps the measured chunk
+        # identical to prior rounds (auto envelope sizing would bootstrap
+        # with shorter dispatches and compile extra program lengths)
+        max_chunk=steps,
     )
     tr.train(start_step=0)  # compiles + warms the chunk program
     chunk = tr._chunk_for(steps)

@@ -148,28 +148,61 @@ def load_eval_models(bundle, log_dir, evaluate_step, use_drs=False,
     return g_state, d_drs_state
 
 
-def _load_stylegan2_eval_models(bundle, log_dir, evaluate_step, use_drs):
-    """StyleGAN2 checkpoints are monolithic dicts {iter:06d}.pt; sampling
-    uses g_ema and DRS uses drs_d falling back to d — parity with reference
-    evaluate.py:240-244 / eval_gan_drs.py:91-108."""
-    import numpy as np
+def read_stylegan2_ckpt(path, gen, disc=None, use_drs=False):
+    """Standalone reader for the monolithic StyleGAN2 dict {iter:06d}.pt
+    (both the native msgpack layout and a reference torch zip): returns
+    {'g_ema': params[, 'drs_d': params]} with no trainer construction, no
+    optimizer build, and no filesystem writes. Sampling uses g_ema and DRS
+    uses drs_d falling back to d — parity with reference evaluate.py:240-244
+    / eval_gan_drs.py:91-108 / train_ffhq_phase2.py:605-610."""
+    import jax as _jax
+    from flax import serialization
 
-    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
-
-    tr = StyleGAN2Trainer(
-        "/tmp/_sg2_eval", bundle.gen, bundle.disc,
-        np.zeros((4, bundle.image_size, bundle.image_size, 3), np.uint8),
-        num_steps=1, batch_size=2,
-        drs_disc=bundle.disc_drs if use_drs else None,
+    path = Path(path)
+    k = _jax.random.key(0)
+    z0 = jnp.zeros((2, gen.style_dim))
+    g_tmpl = _jax.device_get(
+        gen.init({"params": k, "noise": k}, z0)["params"]
     )
-    path = Path(log_dir) / "checkpoint" / f"{evaluate_step:06d}.pt"
-    assert path.is_file(), f"missing {path}"
-    tr.load_ckpt(path)
+    d_tmpl = None
+    if use_drs:
+        assert disc is not None, "use_drs needs the discriminator module"
+        x0 = jnp.zeros((2, gen.size, gen.size, 3))
+        d_tmpl = _jax.device_get(disc.init({"params": k}, x0)["params"])
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"PK\x03\x04":  # reference torch checkpoint
+        from diagan_tpu.utils import torch_import as ti
+
+        conv = ti.import_stylegan2_checkpoint(path, gen.size)
+        raw = {"g_ema": conv.get("g_ema", conv.get("g")),
+               "d": conv.get("d"), "drs_d": conv.get("drs_d")}
+        raw = {kk: v for kk, v in raw.items() if v is not None}
+    else:
+        raw = serialization.msgpack_restore(bytearray(data))
+    out = {
+        "g_ema": serialization.from_state_dict(
+            g_tmpl, raw.get("g_ema", raw.get("g")))
+    }
+    if use_drs:
+        out["drs_d"] = serialization.from_state_dict(
+            d_tmpl, raw.get("drs_d", raw["d"]))
+    return {kk: _jax.tree.map(jnp.asarray, v) for kk, v in out.items()}
+
+
+def _load_stylegan2_eval_models(bundle, log_dir, evaluate_step, use_drs):
     from diagan_tpu.train.state import NetState
 
-    g_state = NetState(tr.g_ema, {}, None, jnp.asarray(evaluate_step))
+    path = Path(log_dir) / "checkpoint" / f"{evaluate_step:06d}.pt"
+    assert path.is_file(), f"missing {path}"
+    loaded = read_stylegan2_ckpt(
+        path, bundle.gen, disc=bundle.disc_drs if use_drs else None,
+        use_drs=use_drs,
+    )
+    g_state = NetState(loaded["g_ema"], {}, None, jnp.asarray(evaluate_step))
     d_drs_state = (
-        NetState(tr.d_drs_state.params, {}, None, jnp.asarray(evaluate_step))
+        NetState(loaded["drs_d"], {}, None, jnp.asarray(evaluate_step))
         if use_drs else None
     )
     return g_state, d_drs_state
@@ -193,9 +226,18 @@ def evaluate_checkpoint(
     real_subset_index=None,
     name=None,
     overwrite=False,
+    cache_fakes=True,
 ):
     """Compute `metric` ('fid' | 'inception_score' | 'kid' | 'pr') for one
-    checkpoint step across seeds; write/extend the reference-layout JSON."""
+    checkpoint step across seeds; write/extend the reference-layout JSON.
+
+    cache_fakes: persist each seed's generated uint8 set to
+    images/fid_gen_images_{n}k_{seed}[_drs].npy and reuse it across
+    metric invocations (reference fid_score.py:131-171 — its cache lives
+    at the experiment root, so steps and DRS/non-DRS collide; here the
+    cache is scoped to the step directory and tagged _drs, a documented
+    correctness deviation). fid+is+pr over one checkpoint then generate
+    the 50k fakes once."""
     log_dir = Path(log_dir)
     g_state, d_drs_state = load_eval_models(
         bundle, log_dir, evaluate_step, use_drs, use_original_netD
@@ -252,18 +294,30 @@ def evaluate_checkpoint(
         if str(seed) in results["scores"] and not overwrite:
             continue
         key = jax.random.key(seed)
-        if use_drs:
-            disc_fn = make_disc_fn(
-                bundle.disc_drs or bundle.disc, d_drs_state
-            )
-            sampler = DRS(gen_fn, disc_fn, bundle.nz, key=key,
-                          batch_size=batch_size)
+        fake_cache = (
+            out_dir / "images"
+            / f"fid_gen_images_{nf}k_{seed}{'_drs' if use_drs else ''}.npy"
+        )
+        if cache_fakes and fake_cache.is_file():
+            fakes_u8 = np.load(fake_cache)
         else:
-            sampler = Sampler(gen_fn, bundle.nz, key=key, batch_size=batch_size)
-        # reference fid_score.py:77-101 normalization, applied on device
-        # before the (slow) device->host transfer — uint8 crosses the link
-        fakes_u8 = sampler.generate_images(num_fake_samples,
-                                           minmax_uint8=True)
+            if use_drs:
+                disc_fn = make_disc_fn(
+                    bundle.disc_drs or bundle.disc, d_drs_state
+                )
+                sampler = DRS(gen_fn, disc_fn, bundle.nz, key=key,
+                              batch_size=batch_size)
+            else:
+                sampler = Sampler(gen_fn, bundle.nz, key=key,
+                                  batch_size=batch_size)
+            # reference fid_score.py:77-101 normalization, applied on device
+            # before the (slow) device->host transfer — uint8 crosses the
+            # link
+            fakes_u8 = sampler.generate_images(num_fake_samples,
+                                               minmax_uint8=True)
+            if cache_fakes:
+                fake_cache.parent.mkdir(parents=True, exist_ok=True)
+                np.save(fake_cache, fakes_u8)
         feats, logits = featurizer.features_and_logits(fakes_u8)
 
         if metric == "fid":

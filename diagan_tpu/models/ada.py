@@ -313,11 +313,13 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None):
     kept for ablation.
 
     polyphase selects the 2-phase planar implementation of the same
-    resample (None = auto: on for TPU backends). It computes the same
-    math with the 2x buffer held as compact y-phase planes
-    (ops/ada_phase.py) — no zero-stuffed (2S, 2S) intermediates, no NCHW
-    relayouts around the warp; outputs differ from the interleaved path
-    only by fp32 summation order (~1e-6 rel).
+    resample (None = auto: the INTERLEAVED path everywhere unless the
+    env opt-in DIAGAN_TPU_ADA_POLYPHASE=1 is set on a TPU backend — the
+    planar path measured slower as-built on the v5e, docs/ROADMAP.md
+    item 10). It computes the same math with the 2x buffer held as
+    compact y-phase planes (ops/ada_phase.py) — no zero-stuffed (2S, 2S)
+    intermediates, no NCHW relayouts around the warp; outputs differ
+    from the interleaved path only by fp32 summation order (~1e-6 rel).
     """
     n, h, w, c = images.shape
     Ginv = jnp.linalg.inv(G)

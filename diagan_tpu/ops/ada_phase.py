@@ -36,6 +36,15 @@ Forward and backward are exact adjoints by construction (the backward
 builds its hat weights from the same clipped coordinates); the XLA
 fallback interleaves the phases and runs the plain gather, and doubles as
 the test oracle.
+
+Coverage bound: _origins rounds the source-row window origin onto the
+phase grid via (oy // 16) * 8, which can forfeit up to 15 interleaved
+source rows of the 128-row window (vs warp_pallas's 7-row slack), so the
+worst-case affine coverage at 45-degree rotation is ~2.5x scale (vs the
+interleaved kernel's ~2.7x documented in warp_pallas). Draws beyond the
+window silently truncate contributions (clamped-edge output, no error) —
+the ADA transform distribution at pad_frac 0.75 stays well inside the
+bound, and the adjoint tests cover the distribution's support.
 """
 from __future__ import annotations
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import signal
+import time
 from pathlib import Path
 
 import jax
@@ -214,6 +215,7 @@ class StyleGAN2Trainer:
         # (jax.random.bernoulli) requires a float probability
         self.ada_aug_p = float(augment_p) if self.use_augment else 0.0
         self.logit_results = {}
+        self._chunk_cap = None  # auto-sized dispatch cap (_observe_chunk)
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -479,12 +481,19 @@ class StyleGAN2Trainer:
 
 
             def make_chunk(n):
+                # per-step RNG is keyed by the ABSOLUTE step
+                # (fold_in(base_key, start_step + i)), so the stream — and
+                # therefore the whole run — is invariant to how the host
+                # splits steps into dispatches. This is what lets the
+                # dispatch envelope auto-size (_observe_chunk) without
+                # breaking bitwise-deterministic resume.
                 def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
                           ada_p, start_step, images):
                     def body(carry, i):
                         g, d, dd, ema, plm = carry
                         g, d, dd, ema, plm, m = full_step(
-                            g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                            g, d, dd, ema, plm,
+                            jax.random.fold_in(key, start_step + i),
                             ada_p, start_step + i, images,
                         )
                         return (g, d, dd, ema, plm), m
@@ -511,7 +520,8 @@ class StyleGAN2Trainer:
                         gstep = start_step + i
                         slot = jnp.clip(gstep // dre - first_slot_step, 0, None)
                         g, d, dd, ema, plm, m = full_step(
-                            g, d, dd, ema, plm, jax.random.fold_in(key, i),
+                            g, d, dd, ema, plm,
+                            jax.random.fold_in(key, gstep),
                             ada_p, gstep, None, xs, r1_xs, slot,
                         )
                         return (g, d, dd, ema, plm), m
@@ -660,7 +670,7 @@ class StyleGAN2Trainer:
 
         for i in range(n):
             gstep = start_step + i
-            k = jax.random.fold_in(key, i)
+            k = jax.random.fold_in(key, gstep)
             kd, kdd, kg, kr1, kpl = jax.random.split(k, 5)
             self.d_state, dm = uf["d"](
                 self.d_state, self.g_state.params, kd, self.ada_aug_p,
@@ -934,6 +944,40 @@ class StyleGAN2Trainer:
             self.ada.ada_aug_p = self.ada_aug_p
         return int(payload.get("step", 0))
 
+    # dispatch-envelope auto-sizing: the platform kills device programs
+    # that run much past ~a minute (docs/VALIDATION.md round 3), so every
+    # fused dispatch must stay well under that. TARGET_DISPATCH_S is the
+    # budget a dispatch is sized to; a dispatch observed past
+    # SHRINK_GUARD_S forces the cap down even if the estimate said
+    # otherwise. The per-step RNG is absolute-step-keyed, so re-chunking
+    # never changes the result stream.
+    TARGET_DISPATCH_S = 30.0
+    SHRINK_GUARD_S = 45.0
+    _CAP_LADDER = (8, 25, 50, 100)
+
+    def _observe_chunk(self, n, dt, first_call):
+        """Feed one fused-dispatch wall time into the envelope estimate.
+        first_call dispatches are skipped entirely: their wall time is
+        dominated by compilation, which is host/compile-service-side and
+        says nothing about device-program length."""
+        if self.max_chunk is not None or first_call:
+            return
+        t_step = dt / max(n, 1)
+        fit = [c for c in self._CAP_LADDER
+               if c * t_step <= self.TARGET_DISPATCH_S]
+        cap = fit[-1] if fit else max(
+            1, int(self.TARGET_DISPATCH_S / max(t_step, 1e-9)))
+        if dt > self.SHRINK_GUARD_S:
+            # realized dispatch ran long — clamp below the observed rate
+            cap = min(cap, max(1, n // 2))
+        prev = self._chunk_cap
+        # only shrink after the cap has grown once: oscillating caps
+        # would compile a new program per distinct n
+        if prev is None or cap < prev or prev == self._BOOT_CHUNK:
+            self._chunk_cap = cap
+
+    _BOOT_CHUNK = 8  # conservative cap until a timed dispatch exists
+
     def _next_boundary(self, step):
         periods = [self.log_every, self.save_every]
         if self.logit_save_steps:
@@ -941,15 +985,15 @@ class StyleGAN2Trainer:
         nxt = self.num_steps
         for p_ in periods:
             nxt = min(nxt, (step // p_ + 1) * p_)
-        if self.max_chunk:
-            # dispatch-length cap: the axon worker kills device programs
-            # that run much past ~a minute (docs/VALIDATION.md round 3),
-            # so long stretches between boundaries are split into
-            # max_chunk-step dispatches. Chunk start positions are a
-            # deterministic function of the absolute step, so resume
-            # stays bitwise-deterministic for a fixed max_chunk (the
-            # per-chunk RNG fold-in is keyed by the chunk's start step)
-            nxt = min(nxt, (step // self.max_chunk + 1) * self.max_chunk)
+        # dispatch-length cap: explicit --max_chunk wins; otherwise the
+        # auto-sized cap (bootstrap _BOOT_CHUNK until the first timed
+        # dispatch calibrates it in _observe_chunk). Unfused mode
+        # dispatches per step pieces and needs no envelope.
+        cap = self.max_chunk
+        if cap is None and self.fuse:
+            cap = self._chunk_cap if self._chunk_cap else self._BOOT_CHUNK
+        if cap:
+            nxt = min(nxt, (step // cap + 1) * cap)
         return nxt
 
     def train(self, start_step=0):
@@ -983,13 +1027,14 @@ class StyleGAN2Trainer:
     def _train_loop(self, step, interrupted):
         self._loop_step = step
         while step < self.num_steps and not interrupted["flag"]:
-            # step-keyed (not sequentially split): a resumed run re-derives
-            # the exact key stream of an uninterrupted one, so resume is
-            # bitwise-deterministic (same scheme as LogTrainer.train)
-            kc = jax.random.fold_in(self.key, step)
+            # per-step keying (fold_in(self.key, absolute_step) inside the
+            # chunk body): a resumed run — or one with DIFFERENT dispatch
+            # chunking — re-derives the exact key stream of an
+            # uninterrupted one, so resume stays bitwise-deterministic and
+            # the dispatch envelope is free to auto-size
             n = self._next_boundary(step) - step
             if not self.fuse:
-                ms = self._run_unfused(kc, step, n)
+                ms = self._run_unfused(self.key, step, n)
                 step += n
                 self._loop_step = step
                 signs = np.asarray(ms["sign_real"])
@@ -1000,23 +1045,28 @@ class StyleGAN2Trainer:
                 metrics = self._chunk_metrics(ms)
                 self._after_chunk(step, metrics)
                 continue
+            chunk_key = (n, self._aug_live())
+            first_call = chunk_key not in self._plain_chunks
             chunk = self._chunk_for(n)
             if self.stream:
                 step_xs, r1_xs = self._host_stacks(step, n)
+                t0 = time.perf_counter()
                 (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
                  self.pl_mean, ms) = chunk(
                     self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-                    self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
+                    self.pl_mean, self.key, self.ada_aug_p, jnp.int32(step),
                     step_xs, r1_xs,
                 )
             else:
+                t0 = time.perf_counter()
                 (self.g_state, self.d_state, self.d_drs_state, self.g_ema,
                  self.pl_mean, ms) = chunk(
                     self.g_state, self.d_state, self.d_drs_state, self.g_ema,
-                    self.pl_mean, kc, self.ada_aug_p, jnp.int32(step),
+                    self.pl_mean, self.key, self.ada_aug_p, jnp.int32(step),
                     self.images,
                 )
-            signs = np.asarray(ms["sign_real"])
+            signs = np.asarray(ms["sign_real"])  # forces device sync
+            self._observe_chunk(n, time.perf_counter() - t0, first_call)
             if self.ada is not None:
                 for v in signs:
                     # sign_real is psum'd across the mesh, so the paired

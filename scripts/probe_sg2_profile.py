@@ -41,6 +41,7 @@ def run_chunk(size, batch, steps, trace_dir):
         StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
         imgs, num_steps=steps, batch_size=batch,
         log_every=steps, save_every=10**9, seed=0,
+        max_chunk=steps,  # one fixed-length program (no auto bootstrap)
     )
     tr.train(start_step=0)  # compile + warm
     chunk = tr._chunk_for(steps)

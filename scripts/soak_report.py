@@ -35,8 +35,10 @@ def main():
                 print(f"projected 250k-step cost: {rem / sps / 3600:.1f} "
                       f"chip-hours")
 
+    # metric keys print in dict order: d, fake_score, g, path, r1,
+    # real_score, then ada_p appended (stylegan2_trainer._after_chunk)
     step_re = re.compile(
-        r"step (\d+): .*?r1: ([\d.eE+-]+).*?path: ([\d.eE+-]+)"
+        r"step (\d+): .*?path: ([\d.eE+-]+).*?r1: ([\d.eE+-]+)"
         r".*?ada_p: ([\d.eE+-]+)")
     rows = []
     restarts = resumes = 0
@@ -56,7 +58,7 @@ def main():
     if rows:
         for frac in (0, 0.25, 0.5, 0.75, 1.0):
             i = min(len(rows) - 1, int(frac * (len(rows) - 1)))
-            s, r1, path, p = rows[i]
+            s, path, r1, p = rows[i]
             print(f"  step {int(s):>7}: ada_p={p:.4f} r1={r1:.4f} "
                   f"path={path:.4f}")
 

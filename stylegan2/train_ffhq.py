@@ -75,8 +75,10 @@ def build_parser():
     # batch>=8) whose fused program the compile service rejects
     parser.add_argument("--no_fuse", action="store_true")
     # additive: cap steps per fused dispatch — the axon worker kills
-    # device programs running much past ~a minute, so ADA-live 256px
-    # chunks need n*step_time under that (docs/VALIDATION.md round 3)
+    # device programs running much past ~a minute (docs/VALIDATION.md
+    # round 3). Default None = AUTO: the trainer bootstraps with short
+    # dispatches, times one, and sizes the cap to ~30s of device time
+    # (StyleGAN2Trainer._observe_chunk); pass a value to override.
     parser.add_argument("--max_chunk", default=None, type=int)
     # additive: data-parallel training over all visible devices
     # (jax.sharding mesh; replaces the reference's torch.distributed.launch

@@ -42,3 +42,38 @@ def test_scan_body_flops_counted_once():
         f"({f32 / f1:.1f}x at length 32) — fix bench.py's FLOPs/step "
         f"derivation (it must divide by the scan length again)"
     )
+
+
+def test_bench_regression_comparator(tmp_path, capsys):
+    """bench diffs its fields against the newest BENCH_r*.json and flags
+    >10% regressions (orientation-aware: ms_per_step is lower-better)."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps({
+        "parsed": {"value": 50.0, "drs_samples_per_sec": 2000.0,
+                   "sg2_256_ms_per_step": 400.0, "metric": "x"}
+    }))
+    # regression on two fields, improvement on one
+    out = {"value": 40.0, "drs_samples_per_sec": 2100.0,
+           "sg2_256_ms_per_step": 500.0}
+    bench._compare_with_previous(out, root=tmp_path)
+    assert out["prev_bench"] == "BENCH_r03.json"
+    assert sorted(r.split(":")[0] for r in out["regressions"]) == [
+        "sg2_256_ms_per_step", "value"]
+    assert "REGRESSION" in capsys.readouterr().err
+
+    # within threshold -> clean
+    out = {"value": 49.0, "drs_samples_per_sec": 1950.0,
+           "sg2_256_ms_per_step": 410.0}
+    bench._compare_with_previous(out, root=tmp_path)
+    assert out["regressions"] == []
+
+    # newest file wins
+    (tmp_path / "BENCH_r04.json").write_text(_json.dumps({
+        "parsed": {"value": 100.0}
+    }))
+    out = {"value": 95.0}
+    bench._compare_with_previous(out, root=tmp_path)
+    assert out["prev_bench"] == "BENCH_r04.json" and out["regressions"] == []

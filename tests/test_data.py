@@ -112,3 +112,38 @@ def test_synthetic_celeba_attrs_learnable_and_deterministic():
     w, *_ = np.linalg.lstsq(A, y, rcond=None)
     acc = (((A @ w) > 0.5) == (y > 0.5)).mean()
     assert acc > 0.7
+
+
+def test_index_loaders():
+    """By-index metric loaders (reference image_loader_with_index.py):
+    array gather, sequence gather, and the directory variants' synthetic
+    fallback + the reference's >=1000-index imagenet guard."""
+    import pytest as _pytest
+
+    from diagan_tpu.data.index_loader import (
+        get_celeba_images_with_index,
+        get_imagenet_images_with_index,
+        get_index_images,
+        get_lsun_bedroom_images_with_index,
+    )
+
+    arr = np.arange(5 * 4 * 4 * 3, dtype=np.uint8).reshape(5, 4, 4, 3)
+    got = get_index_images(arr, [3, 1])
+    np.testing.assert_array_equal(got, arr[[3, 1]])
+
+    seq = [(arr[i], 0, 1.0, i) for i in range(5)]  # WeightedDataset tuples
+    got = get_index_images(seq, [2, 0])
+    np.testing.assert_array_equal(got, arr[[2, 0]])
+
+    with _pytest.raises(ValueError):
+        get_imagenet_images_with_index(np.arange(10), root="/nonexistent")
+    idx = np.arange(1000)
+    imgs = get_imagenet_images_with_index(idx, root="/nonexistent", size=8)
+    assert imgs.shape == (1000, 8, 8, 3) and imgs.dtype == np.uint8
+
+    imgs = get_lsun_bedroom_images_with_index([4, 2], root="/nonexistent",
+                                              size=8)
+    assert imgs.shape == (2, 8, 8, 3)
+    imgs = get_celeba_images_with_index([0, 1, 2], root="/nonexistent",
+                                        size=8)
+    assert imgs.shape == (3, 8, 8, 3)

@@ -538,3 +538,135 @@ def test_resume_restores_optimizer_state_bitwise(tmp_path):
         for xa, xb in zip(la, lb):
             np.testing.assert_array_equal(
                 np.asarray(xa), np.asarray(xb), err_msg=name)
+
+
+def test_read_stylegan2_ckpt_standalone(tmp_path, monkeypatch):
+    """Eval loads {iter:06d}.pt through a standalone reader: no trainer
+    construction, no optimizer build, no /tmp side-effect directories
+    (the old path instantiated a throwaway StyleGAN2Trainer("/tmp/_sg2_eval")
+    just to reuse load_ckpt)."""
+    from diagan_tpu.eval.evaluate import read_stylegan2_ckpt
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (8, 16, 16, 3), np.uint8)
+    gen = StyleGAN2Generator(size=16)
+    disc = StyleGAN2Discriminator(size=16)
+    drs_disc = StyleGAN2Discriminator(size=16)
+    tr = StyleGAN2Trainer(
+        tmp_path / "run", gen, disc, imgs, num_steps=1, batch_size=2,
+        log_every=1, save_every=1, drs_disc=drs_disc,
+    )
+    tr.train()
+    path = tmp_path / "run" / "checkpoint" / "000001.pt"
+    assert path.is_file()
+
+    # reading must not construct a trainer (the old side-effectful hack)
+    def _boom(*a, **k):
+        raise AssertionError("reader constructed a StyleGAN2Trainer")
+
+    monkeypatch.setattr(StyleGAN2Trainer, "__init__", _boom)
+    loaded = read_stylegan2_ckpt(path, gen, disc=drs_disc, use_drs=True)
+    monkeypatch.undo()
+    for got, want in (
+        (loaded["g_ema"], tr.g_ema),
+        (loaded["drs_d"], tr.d_drs_state.params),
+    ):
+        la, lb = jax.tree.leaves(got), jax.tree.leaves(want)
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+    # drs_d falls back to d when the checkpoint has none
+    # (reference train_ffhq_phase2.py:605-610)
+    tr2 = StyleGAN2Trainer(
+        tmp_path / "p1", gen, disc, imgs, num_steps=1, batch_size=2,
+        log_every=1, save_every=1,
+    )
+    tr2.train()
+    loaded = read_stylegan2_ckpt(
+        tmp_path / "p1" / "checkpoint" / "000001.pt", gen, disc=drs_disc,
+        use_drs=True,
+    )
+    for xa, xb in zip(jax.tree.leaves(loaded["drs_d"]),
+                      jax.tree.leaves(tr2.d_state.params)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_dispatch_envelope_auto_sizing(tmp_path):
+    """The dispatch-envelope sizing rule (VERDICT r3 item 3): with no
+    --max_chunk the trainer bootstraps at _BOOT_CHUNK, calibrates the cap
+    from a timed dispatch to <= TARGET_DISPATCH_S of device time, only
+    shrinks after the first calibration, and an explicit max_chunk
+    overrides everything."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (8, 16, 16, 3), np.uint8)
+    tr = StyleGAN2Trainer(
+        tmp_path / "a", StyleGAN2Generator(size=16),
+        StyleGAN2Discriminator(size=16), imgs, num_steps=1000,
+        batch_size=2, log_every=1000, save_every=10000,
+    )
+    boot = StyleGAN2Trainer._BOOT_CHUNK
+    # bootstrap: no measurement yet -> cap at _BOOT_CHUNK
+    assert tr._next_boundary(0) == boot
+    # first call of a program (compile) never calibrates
+    tr._observe_chunk(boot, 300.0, first_call=True)
+    assert tr._chunk_cap is None
+    # 1 s/step -> largest ladder rung under 30s is 25
+    tr._observe_chunk(boot, boot * 1.0, first_call=False)
+    assert tr._chunk_cap == 25
+    assert tr._next_boundary(0) == 25
+    # growth after calibration is ignored (would churn compiled programs)
+    tr._observe_chunk(25, 25 * 0.01, first_call=False)
+    assert tr._chunk_cap == 25
+    # but a long-running dispatch shrinks the cap below the observed n
+    tr._observe_chunk(25, 50.0, first_call=False)
+    assert tr._chunk_cap <= 12
+    # very slow steps -> cap below the ladder floor
+    tr2 = StyleGAN2Trainer(
+        tmp_path / "b", StyleGAN2Generator(size=16),
+        StyleGAN2Discriminator(size=16), imgs, num_steps=1000,
+        batch_size=2, log_every=1000, save_every=10000,
+    )
+    tr2._observe_chunk(boot, boot * 10.0, first_call=False)  # 10 s/step
+    assert tr2._chunk_cap == 3
+    # explicit max_chunk wins over auto
+    tr3 = StyleGAN2Trainer(
+        tmp_path / "c", StyleGAN2Generator(size=16),
+        StyleGAN2Discriminator(size=16), imgs, num_steps=1000,
+        batch_size=2, log_every=1000, save_every=10000, max_chunk=7,
+    )
+    tr3._observe_chunk(7, 7 * 1.0, first_call=False)
+    assert tr3._chunk_cap is None
+    assert tr3._next_boundary(0) == 7
+
+
+@pytest.mark.slow
+def test_chunking_invariant_rng(tmp_path):
+    """Per-step RNG keying: splitting the same run into different dispatch
+    chunk sizes must produce bitwise-identical parameters — the invariant
+    that makes envelope auto-sizing safe."""
+    from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
+
+    imgs = np.random.default_rng(0).integers(0, 255, (16, 16, 16, 3), np.uint8)
+
+    def run(out, max_chunk):
+        tr = StyleGAN2Trainer(
+            tmp_path / out, StyleGAN2Generator(size=16),
+            StyleGAN2Discriminator(size=16), imgs, num_steps=4,
+            batch_size=2, log_every=4, save_every=10000, seed=3,
+            max_chunk=max_chunk,
+        )
+        tr.train()
+        return tr
+
+    a = run("chunk1", 1)
+    b = run("chunk4", 4)
+    for name, x, y in (
+        ("g", a.g_state.params, b.g_state.params),
+        ("d", a.d_state.params, b.d_state.params),
+        ("g_ema", a.g_ema, b.g_ema),
+    ):
+        for xa, xb in zip(jax.tree.leaves(x), jax.tree.leaves(y)):
+            np.testing.assert_array_equal(
+                np.asarray(xa), np.asarray(xb), err_msg=name)

@@ -204,3 +204,35 @@ def test_classifier_predict_smaller_than_batch():
     logits = predict_classifier(model, params, variables, images,
                                 batch_size=256)
     assert logits.shape == (18, 2)
+
+
+@pytest.mark.slow
+def test_eval_fake_cache_shared_across_metrics(mnist_run, monkeypatch):
+    """The generated-image cache (reference fid_score.py:131-171): the
+    first metric invocation persists the seed's uint8 fakes under
+    evaluate/step-N/images/, and subsequent metrics for the same seed load
+    them instead of regenerating."""
+    from diagan_tpu.eval import evaluate as ev
+    from diagan_tpu.eval.inception import InceptionFeaturizer
+
+    root, out, ds, bundle = mnist_run
+    featurizer = InceptionFeaturizer(batch_size=16)
+    ev.evaluate_checkpoint(
+        "fid", bundle=bundle, log_dir=out, evaluate_step=4,
+        real_images=ds.images, num_real_samples=32, num_fake_samples=32,
+        featurizer=featurizer, batch_size=16, start_seed=5,
+    )
+    cache = out / "evaluate/step-4/images/fid_gen_images_0k_5.npy"
+    assert cache.is_file()
+    assert np.load(cache).shape[0] == 32
+
+    def _boom(*a, **k):
+        raise AssertionError("fakes regenerated despite cache")
+
+    monkeypatch.setattr(ev.Sampler, "generate_images", _boom)
+    res = ev.evaluate_checkpoint(
+        "inception_score", bundle=bundle, log_dir=out, evaluate_step=4,
+        num_fake_samples=32, featurizer=featurizer, batch_size=16,
+        start_seed=5,
+    )
+    assert res["scores"]["5"] > 0
