@@ -232,7 +232,12 @@ def _compare_with_previous(out, threshold=0.10, root=None):
               + "; ".join(regressions), file=sys.stderr)
 
 
-def _sg2_bench(size=256, batch=16, steps=10):
+def _sg2_bench(size=256, batch=16, steps=25):
+    # steps=25 per dispatch (the validated ADA-live max_chunk and the
+    # scale real runs dispatch at): at ~0.3 s/step the ~0.8 s tunnel
+    # dispatch cost is 3%, not the 20-25% a 10-step chunk showed —
+    # wall at 10 steps ranged 305-350 ms/step across sessions while the
+    # device trace held 292-295 (docs/VALIDATION.md round 4)
     import jax.numpy as jnp
 
     from diagan_tpu.models.stylegan2 import (

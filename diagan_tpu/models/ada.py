@@ -291,7 +291,74 @@ def _apply_affine_polyphase(images, coef, P, win, k1):
     return out[:, 3:3 + h, 3:3 + w, :]
 
 
-def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None):
+def _antialiased_resample(images, Ginv, P, k1):
+    """The sym6 resample pipeline at ONE static reflect pad P: reflect
+    pad, 2x up-filter, affine warp, down-filter, crop (reference
+    non_leaking.py:353-408; the factored-out tail of apply_affine)."""
+    n, h, w, c = images.shape
+    ky, kx = k1[:, None], k1[None, :]
+    kyf, kxf = ky[::-1], kx[:, ::-1]
+    pad_k = (len(k1) + 1) // 2  # 6
+
+    m0 = 2 * P - pad_k
+    win = 2 * h + 2 * pad_k
+    beta = (m0 + 0.5 - 2 * P) / h - 1.0
+    off = 2 * P - 0.5
+    ay = Ginv[:, 1, 1]
+    by = Ginv[:, 1, 0]
+    cy = h * ((Ginv[:, 1, 0] + Ginv[:, 1, 1]) * beta + Ginv[:, 1, 2] + 1.0) \
+        + off
+    ax = Ginv[:, 0, 1]
+    bx = Ginv[:, 0, 0]
+    cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta + Ginv[:, 0, 2] + 1.0) \
+        + off
+    coef = jnp.stack([ay, by, cy, ax, bx, cx], -1)
+
+    xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
+    x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
+    x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
+    y = affine_gather(x2, coef, win)
+    out = upfirdn2d(y, ky, down=(1, 2), pad=(0, 0, pad_k - 1, pad_k - 1))
+    out = upfirdn2d(out, kx, down=(2, 1), pad=(pad_k - 1, pad_k - 1, 0, 0))
+    return out[:, 3:3 + h, 3:3 + w, :]
+
+
+def _needed_pad(Ginv, h):
+    """Smallest reflect pad (pixels) under which the warp's reads stay
+    strictly inside the padded buffer AND away from the up-filter's
+    support at the buffer edge, for THIS batch of transforms — the
+    per-batch quantity the reference's dynamic pad derives implicitly
+    (non_leaking.py:371-383). Uses the P=0 warp coefficients: q(P) =
+    q(0) + 2P, so the no-clamp condition q >= 0, q <= 2(h+2P)-2 becomes
+    P >= max(-qmin, qmax - 2h + 2) / 2; +pad_k keeps a full filter
+    support between any read and the small buffer's edge (where the
+    up-pass consumes upfirdn zero padding instead of deeper reflect
+    content), making bucket outputs fp-identical within coverage."""
+    pad_k = 6
+    win = 2 * h + 2 * pad_k
+    beta = (-pad_k + 0.5) / h - 1.0
+
+    def minmax(a, b, cbase):
+        lo = cbase + jnp.minimum(a * (win - 1.0), 0.0) \
+            + jnp.minimum(b * (win - 1.0), 0.0)
+        hi = cbase + jnp.maximum(a * (win - 1.0), 0.0) \
+            + jnp.maximum(b * (win - 1.0), 0.0)
+        return lo, hi
+
+    cy = h * ((Ginv[:, 1, 0] + Ginv[:, 1, 1]) * beta + Ginv[:, 1, 2] + 1.0) \
+        - 0.5
+    cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta + Ginv[:, 0, 2] + 1.0) \
+        - 0.5
+    ylo, yhi = minmax(Ginv[:, 1, 1], Ginv[:, 1, 0], cy)
+    xlo, xhi = minmax(Ginv[:, 0, 1], Ginv[:, 0, 0], cx)
+    qmin = jnp.minimum(jnp.min(ylo), jnp.min(xlo))
+    qmax = jnp.maximum(jnp.max(yhi), jnp.max(xhi))
+    need = jnp.maximum(-qmin, qmax - 2.0 * h + 2.0) / 2.0
+    return jnp.ceil(jnp.maximum(need, 0.0)) + pad_k + 1
+
+
+def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None,
+                 pad_buckets=None):
     """Apply per-sample affine matrices (output NDC -> input NDC via G^-1).
 
     antialias=True (default) is the reference pipeline
@@ -320,6 +387,13 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None):
     compact y-phase planes (ops/ada_phase.py) — no zero-stuffed (2S, 2S)
     intermediates, no NCHW relayouts around the warp; outputs differ
     from the interleaved path only by fp32 summation order (~1e-6 rel).
+
+    pad_buckets (tuple of fractions <= pad_frac, e.g. (0.25, 0.5)):
+    extent-bucketed static pad — a lax.switch picks the smallest bucket
+    whose pad covers this batch's transforms (computed from G inside the
+    program, _needed_pad); the augment cost scales with (1 + 2P/h)^2, so
+    mild batches run several-fold cheaper while outputs stay
+    fp-identical within coverage. pad_frac remains the largest bucket.
     """
     n, h, w, c = images.shape
     Ginv = jnp.linalg.inv(G)
@@ -342,51 +416,56 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None):
     # pass (its CUDA op is 2-D only); sym6 x sym6 is exactly separable, so
     # two 12-tap 1-D passes compute the identical result 6x cheaper.
     k1 = np.asarray(SYM6, np.float32)
-    ky, kx = k1[:, None], k1[None, :]
-    kyf, kxf = ky[::-1], kx[:, ::-1]
-
     pad_k = (len(SYM6) + 1) // 2    # 6
     P = min(h - 1, int(pad_frac * h) + pad_k)  # static reflect pad (doc above)
-
-    # bilinear affine warp coefficients, restricted to the window the
-    # downsample's kept region actually reads: global 2x coords
-    # m in [2P-6, 2P+2h+6). With u(m) = (m + 0.5 - 2P)/h - 1
-    # (output-pixel NDC, kernel center c = 5.5 — the residual asymmetric
-    # part of sym6's delay cancels between the flipped up pass and the
-    # unflipped down pass) and src = Ginv @ [ux, uy, 1],
-    # q = (src + 1)*h + 2P - 0.5 is AFFINE in the output indices (i, j):
-    # fold it into 6 per-image coefficients so the warp op (XLA gather
-    # fwd, Pallas scatter-as-matmul bwd on TPU — ops/warp_pallas.py)
-    # never materializes the grid.
-    m0 = 2 * P - pad_k
-    win = 2 * h + 2 * pad_k
-    beta = (m0 + 0.5 - 2 * P) / h - 1.0
-    off = 2 * P - 0.5
-    ay = Ginv[:, 1, 1]
-    by = Ginv[:, 1, 0]
-    cy = h * ((Ginv[:, 1, 0] + Ginv[:, 1, 1]) * beta + Ginv[:, 1, 2] + 1.0) + off
-    ax = Ginv[:, 0, 1]
-    bx = Ginv[:, 0, 0]
-    cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta + Ginv[:, 0, 2] + 1.0) + off
-    coef = jnp.stack([ay, by, cy, ax, bx, cx], -1)
+    # (warp-coefficient derivation: see _antialiased_resample — the
+    # per-image q = (src+1)*h + 2P - 0.5 is affine in output indices and
+    # folds into 6 coefficients, so the warp never materializes the grid)
 
     if polyphase is None:
         polyphase = _polyphase_auto()
     if polyphase:
+        m0 = 2 * P - pad_k
+        win = 2 * h + 2 * pad_k
+        beta = (m0 + 0.5 - 2 * P) / h - 1.0
+        off = 2 * P - 0.5
+        ay = Ginv[:, 1, 1]
+        by = Ginv[:, 1, 0]
+        cy = h * ((Ginv[:, 1, 0] + Ginv[:, 1, 1]) * beta
+                  + Ginv[:, 1, 2] + 1.0) + off
+        ax = Ginv[:, 0, 1]
+        bx = Ginv[:, 0, 0]
+        cx = h * ((Ginv[:, 0, 0] + Ginv[:, 0, 1]) * beta
+                  + Ginv[:, 0, 2] + 1.0) + off
+        coef = jnp.stack([ay, by, cy, ax, bx, cx], -1)
         return _apply_affine_polyphase(images, coef, P, win, k1)
 
-    xp = jnp.pad(images, ((0, 0), (P, P), (P, P), (0, 0)), mode="reflect")
-    # 2x upsample with the flipped kernel; with S = h + 2P, pad (6,5) makes
-    # the output exactly 2S with x2[m] ~ xp((m + c - 6)/2) for kernel center c
-    x2 = upfirdn2d(xp, kyf, up=(1, 2), pad=(0, 0, pad_k, pad_k - 1))
-    x2 = upfirdn2d(x2, kxf, up=(2, 1), pad=(pad_k, pad_k - 1, 0, 0))
-    y = affine_gather(x2, coef, win)
+    if pad_buckets:
+        # extent-bucketed static pad (docs/ROADMAP.md item b, VERDICT r3
+        # item 5): the needed pad is computed from THIS batch's matrices
+        # inside the program and lax.switch picks the smallest static
+        # bucket that covers it — the runtime cost of an augment call
+        # scales with (1 + 2P/h)^2, and at typical ada_p most batches
+        # need only the smallest bucket (the reference's dynamic
+        # per-batch pad does the same selection implicitly,
+        # non_leaking.py:371-383). Outputs are fp-identical to the
+        # largest bucket within coverage (_needed_pad keeps a full
+        # filter support of margin); transforms beyond the largest
+        # bucket clamp exactly as the static path does.
+        Ps = sorted({min(h - 1, int(f * h) + pad_k) for f in pad_buckets}
+                    | {P})
+        Ps = [p_ for p_ in Ps if p_ <= P]
+        if len(Ps) > 1:
+            need = _needed_pad(Ginv, h)
+            idx = jnp.sum(jnp.stack(
+                [(need > p_) for p_ in Ps[:-1]]).astype(jnp.int32))
+            branches = [
+                (lambda im, P_=p_: _antialiased_resample(im, Ginv, P_, k1))
+                for p_ in Ps
+            ]
+            return jax.lax.switch(idx, branches, images)
 
-    # sym6 filter + 2x downsample; with window start m0 the kept original
-    # rows are output indices [3, 3+h)
-    out = upfirdn2d(y, ky, down=(1, 2), pad=(0, 0, pad_k - 1, pad_k - 1))
-    out = upfirdn2d(out, kx, down=(2, 1), pad=(pad_k - 1, pad_k - 1, 0, 0))
-    return out[:, 3:3 + h, 3:3 + w, :]
+    return _antialiased_resample(images, Ginv, P, k1)
 
 
 def apply_color(images, C):
@@ -397,7 +476,7 @@ def apply_color(images, C):
 
 
 def augment(images, key, p, antialias=True, pad_frac=0.75,
-            static_apply=None):
+            static_apply=None, pad_buckets=None):
     """Full ADA pipeline: geometric then color, each internally gated by p
     (reference augment, non_leaking.py:431-435).
 
@@ -417,14 +496,20 @@ def augment(images, key, p, antialias=True, pad_frac=0.75,
     variant by `ada_aug_p > 0`, which both avoids dead branch code and
     works around a platform fault where the fused 256px chunk crashed the
     TPU worker when a runtime cond first took the augment branch).
-    None (default) keeps the runtime lax.cond on p > 0."""
+    None (default) keeps the runtime lax.cond on p > 0.
+
+    pad_buckets (tuple of pad fractions, e.g. (0.25, 0.5)) turns on the
+    extent-bucketed static pad: apply_affine switches per call to the
+    smallest bucket covering this batch's transforms (pad_frac stays the
+    largest bucket / the tail-clamping boundary)."""
     p = jnp.asarray(p, jnp.float32)
 
     def run(images):
         kg, kc = jax.random.split(key)
         n, h, w, _ = images.shape
         G = sample_affine_matrices(kg, n, p, h, w)
-        out = apply_affine(images, G, antialias=antialias, pad_frac=pad_frac)
+        out = apply_affine(images, G, antialias=antialias, pad_frac=pad_frac,
+                           pad_buckets=pad_buckets)
         if images.shape[-1] == 3:
             C = sample_color_matrices(kc, n, p)
             out = apply_color(out, C)

@@ -77,6 +77,12 @@ class StyleGAN2Trainer:
         # covers the full transform distribution; smaller trades far-tail
         # edge clamping for step time (the augment backward scales with
         # (1+2*pad_frac)^2 — docs/ROADMAP.md 3b)
+        ada_pad_buckets=True,  # extent-bucketed pad: each augment call
+        # lax.switches to the smallest of {h/4, h/2, ada_pad_frac*h}
+        # covering its batch's transforms (models/ada.py pad_buckets) —
+        # several-fold cheaper augment at typical ada_p, fp-identical
+        # within coverage. True -> (0.25, 0.5) capped by ada_pad_frac;
+        # False -> single static pad; tuple -> explicit buckets.
         save_every=5000,
         log_every=100,
         logit_save_steps=None,
@@ -209,6 +215,14 @@ class StyleGAN2Trainer:
         # still executes, so a no-ADA run must compile augment OUT.
         self.use_augment = augment_p is not None
         self.ada_pad_frac = float(ada_pad_frac)
+        if ada_pad_buckets is True:
+            self.ada_pad_buckets = tuple(
+                f for f in (0.25, 0.5) if f < self.ada_pad_frac
+            ) or None
+        elif ada_pad_buckets:
+            self.ada_pad_buckets = tuple(ada_pad_buckets)
+        else:
+            self.ada_pad_buckets = None
         self.ada = AdaptiveAugment(ada_target, ada_length) \
             if self.use_augment and augment_p == 0 else None
         # argparse can deliver an int literal 0 here; the augment pipeline
@@ -318,9 +332,11 @@ class StyleGAN2Trainer:
                     if self.use_augment:
                         real_a = augment(real, kaug1, ada_p,
                                          pad_frac=self.ada_pad_frac,
+                                         pad_buckets=self.ada_pad_buckets,
                                          static_apply=aug_live)
                         fake_a = augment(fake, kaug2, ada_p,
                                          pad_frac=self.ada_pad_frac,
+                                         pad_buckets=self.ada_pad_buckets,
                                          static_apply=aug_live)
                     else:
                         real_a, fake_a = real, fake
@@ -355,6 +371,7 @@ class StyleGAN2Trainer:
                     if self.use_augment:
                         real = augment(real, kaug, ada_p,
                                        pad_frac=self.ada_pad_frac,
+                                         pad_buckets=self.ada_pad_buckets,
                                        static_apply=aug_live)
 
                     def r1_fn(p):
@@ -399,6 +416,7 @@ class StyleGAN2Trainer:
                     if self.use_augment:
                         fake = augment(fake, kaug, ada_p,
                                        pad_frac=self.ada_pad_frac,
+                                         pad_buckets=self.ada_pad_buckets,
                                        static_apply=aug_live)
                     fp = self._disc_apply(self.disc, d_params, fake)
                     return L.g_nonsaturating_loss(fp)

@@ -92,6 +92,15 @@ def aggregate(trace_dir, steps):
     print(f"{'bucket':44s} {'ms/step':>9s} {'share':>7s}")
     for name, dur in buckets.most_common(35):
         print(f"{name[:44]:44s} {dur/1e3/steps:9.2f} {dur/total*100:6.1f}%")
+    # full event names — shows WHICH fusions dominate inside the
+    # stripped-name buckets
+    singles = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            singles[e.get("name", "?")] += e.get("dur", 0)
+    print(f"\n{'top events':60s} {'ms/step':>9s}")
+    for name, dur in singles.most_common(25):
+        print(f"{name[:60]:60s} {dur/1e3/steps:9.2f}")
 
 
 def main():

@@ -200,3 +200,45 @@ def test_adaptive_augment_count_based_update():
     assert p == pytest.approx(256 / 1000)
     # buffer reset after the update
     assert ada.ada_aug_buf == [0.0, 0.0]
+
+
+def test_pad_buckets_match_full_pad():
+    """Extent-bucketed static pad (models/ada.py pad_buckets): the
+    lax.switch-selected smaller bucket must reproduce the full-pad
+    output to fp precision within coverage, pick the smallest bucket for
+    identity batches, and degrade to the largest bucket (== the static
+    path bit-for-bit) for extreme batches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diagan_tpu.models.ada import (
+        _needed_pad,
+        apply_affine,
+        augment,
+        sample_affine_matrices,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    k = jax.random.key(3)
+
+    for p in (0.0, 0.3, 1.0):
+        G = sample_affine_matrices(jax.random.fold_in(k, int(p * 10)),
+                                   8, p, 32, 32)
+        full = apply_affine(imgs, G, pad_frac=0.75)
+        buck = apply_affine(imgs, G, pad_frac=0.75, pad_buckets=(0.25, 0.5))
+        np.testing.assert_allclose(np.asarray(buck), np.asarray(full),
+                                   atol=1e-4)
+
+    # identity batch needs only the margin pad -> smallest bucket covers
+    Gi = jnp.tile(jnp.eye(3)[None], (8, 1, 1))
+    assert float(_needed_pad(jnp.linalg.inv(Gi), 32)) <= 0.25 * 32 + 6
+    buck = apply_affine(imgs, Gi, pad_frac=0.75, pad_buckets=(0.25, 0.5))
+    np.testing.assert_allclose(np.asarray(buck), np.asarray(imgs), atol=1e-3)
+
+    # gradient flows through the switch
+    g = jax.grad(lambda x: jnp.sum(
+        augment(x, k, 0.3, pad_buckets=(0.25, 0.5), static_apply=True) ** 2
+    ))(imgs)
+    assert bool(jnp.isfinite(g).all())
