@@ -271,29 +271,29 @@ def _sg2_bench(size=256, batch=16, steps=25):
         "sg2_256_ms_per_step": round(dt * 1000, 1),
         "sg2_256_img_per_sec": round(batch / dt, 1),
     }
-    try:
-        ca = chunk.lower(*args).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        # Scan body counted once = one step (see the SNGAN MFU note
-        # above) — but this body folds lazy R1 (every 16) and path-reg
-        # (every 4) in via lax.cond, and cost analysis counts a cond at
-        # its HEAVY branch, so the body reports a step where BOTH
-        # regularizers fire. De-rate to the amortized schedule with the
-        # measured per-program ratio (scripts/probe_sg2_flops_split.py
-        # on the v5e at size=256/batch=16: amortized 22942.8 GFLOP vs
-        # body 35337.7 -> 0.6492; re-run the probe if the model or the
-        # reg intervals change).
-        AMORTIZED_RATIO = 0.6492
-        flops_per_step = float(ca["flops"]) * AMORTIZED_RATIO
+    # Algorithmic flops basis: a FIXED measured constant, not this
+    # program's cost analysis. Two reasons (both measured,
+    # scripts/probe_sg2_flops_split.py on the v5e): (a) the chunk body
+    # folds lazy R1 (every 16) and path-reg (every 4) in via lax.cond
+    # and cost analysis counts a cond at its HEAVY branch, so the body
+    # over-reports vs the amortized schedule; (b) the blur-fold
+    # (PARITY.md dev. 18) turns the resample convs into 6x6 dilated
+    # convs whose zero taps XLA's counter bills at dense cost —
+    # 65263.9 GFLOP/step folded vs 30667.1 unfolded for the SAME
+    # algorithm. MFU is defined on algorithm flops, so the basis is the
+    # UNFOLDED (reference-formulation) amortized figure:
+    #     d + g + d_r1/16 + path/4 = 19148.8 GFLOP/step
+    # (DIAGAN_TPU_FOLD_BLUR=0 probe run, 2026-08-21; Pallas FIR taps
+    # are uncounted by cost analysis — <2% of step flops. Re-run the
+    # probe and update if the model or the reg intervals change.)
+    if (size, batch) == (256, 16):
+        flops_per_step = 19148.8e9
         peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
         fields["sg2_256_gflop_per_step"] = round(flops_per_step / 1e9, 1)
         if peak:
             fields["sg2_256_mfu_pct"] = round(
                 100.0 * flops_per_step / dt / (peak * 1e12), 2
             )
-    except Exception as e:
-        print(f"WARN: no sg2 cost analysis ({type(e).__name__}: {e})",
-              file=sys.stderr)
     return fields
 
 

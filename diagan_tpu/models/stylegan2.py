@@ -22,6 +22,7 @@ TPU-native choices:
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -33,6 +34,43 @@ from diagan_tpu.ops import fused_leaky_relu, make_resample_kernel, upfirdn2d
 
 def _equal_lr_init(lr_mul=1.0):
     return nn.initializers.normal(stddev=1.0 / lr_mul)
+
+
+def _fold_blur_enabled():
+    """Blur-fold switch (default ON; DIAGAN_TPU_FOLD_BLUR=0 restores the
+    separate-upfirdn formulation for A/B and debugging).
+
+    The resample convs here are a conv (or conv-transpose) composed with a
+    static separable 4-tap FIR blur (reference stylegan2/model.py wraps
+    every stride-2 conv in upfirdn2d). Correlations compose, so the blur
+    folds into the conv kernel: corr(corr(x, k), w) == corr(x, fold(w, k))
+    with fold = full 2-D correlation of the spatial taps (orientation and
+    crop offsets pinned by scripts/probe_fold_blur.py with asymmetric
+    taps, rel err ~2e-7). On TPU this moves the blur from VPU/bandwidth
+    work (~71 ms of the 256px fused step's FIR kernels, round-4 profile)
+    onto the MXU, where the 3x3 -> 6x6 kernel growth costs ~10 ms of
+    extra flops — the convs run at ~70% of bf16 peak while the standalone
+    FIR passes run at ~1/8 of HBM speed-of-light.
+    """
+    return os.environ.get("DIAGAN_TPU_FOLD_BLUR", "1") != "0"
+
+
+def _fold_kernel(w, k2):
+    """Full 2-D correlation of each (cin, cout) spatial slice of w
+    (kh, kw, cin, cout) with the FIR tap matrix k2 (fh, fw): the kernel
+    of the fused (blur o conv) operator. fp32 in, fp32 out (callers cast
+    to the compute dtype afterwards)."""
+    kh, kw, cin, cout = w.shape
+    k2 = jnp.asarray(k2, jnp.float32)
+    fh, fw = k2.shape
+    wt = w.transpose(2, 3, 0, 1).reshape(cin * cout, 1, kh, kw)
+    out = jax.lax.conv_general_dilated(
+        wt, k2.reshape(1, 1, fh, fw), (1, 1),
+        [(fh - 1, fh - 1), (fw - 1, fw - 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(cin, cout, kh + fh - 1, kw + fw - 1).transpose(
+        2, 3, 0, 1)
 
 
 class EqualDense(nn.Module):
@@ -74,6 +112,10 @@ class EqualConv(nn.Module):
     strides: int = 1
     padding: str | Sequence = "SAME"
     use_bias: bool = True
+    # FIR taps to fold into the conv kernel (blur o conv fusion; the
+    # caller pre-pads the input and uses padding="VALID"). Param shape is
+    # unchanged — the fold happens at use, so checkpoints are identical.
+    fold_fir: tuple | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -83,8 +125,12 @@ class EqualConv(nn.Module):
         scale = 1.0 / math.sqrt(in_features * k * k)
         kernel = self.param("kernel", nn.initializers.normal(1.0),
                             (k, k, in_features, self.features))
+        w_eff = kernel * scale
+        if self.fold_fir is not None:
+            w_eff = _fold_kernel(
+                w_eff, make_resample_kernel(list(self.fold_fir)))
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), (kernel * scale).astype(self.dtype),
+            x.astype(self.dtype), w_eff.astype(self.dtype),
             (self.strides, self.strides), self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -141,26 +187,49 @@ class ModulatedConv(nn.Module):
         xs = x.astype(self.dtype) * s[:, None, None, :].astype(self.dtype)
         w_eff = w_eff.astype(self.dtype)
 
+        fold = _fold_blur_enabled()
         if self.upsample:
-            # transposed conv x2 (VALID: out = 2*in + k - 2) then blur;
-            # pad derivation parity with reference model.py ModulatedConv2d
-            y = jax.lax.conv_transpose(
-                xs, w_eff, strides=(2, 2), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            p = (len(self.blur_kernel) - 2) - (k - 1)
-            pad0 = (p + 1) // 2 + 1  # + factor - 1
-            pad1 = p // 2 + 1
-            y = Blur(self.blur_kernel, pad=(pad0, pad1), upsample_factor=2,
-                     name="blur")(y)
+            if fold and k == 3 and len(self.blur_kernel) == 4:
+                # blur o conv_transpose fused on the MXU: 6x6 folded
+                # kernel, VALID output 2H+4, crop 2 each side == the
+                # reference's pad0/pad1 trim (scripts/probe_fold_blur.py)
+                kb = make_resample_kernel(list(self.blur_kernel)) * 4
+                w6 = _fold_kernel(kernel * scale, kb).astype(self.dtype)
+                y = jax.lax.conv_transpose(
+                    xs, w6, strides=(2, 2), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )[:, 2:-2, 2:-2, :]
+            else:
+                # transposed conv x2 (VALID: out = 2*in + k - 2) then
+                # blur; pad derivation parity with reference model.py
+                # ModulatedConv2d
+                y = jax.lax.conv_transpose(
+                    xs, w_eff, strides=(2, 2), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                p = (len(self.blur_kernel) - 2) - (k - 1)
+                pad0 = (p + 1) // 2 + 1  # + factor - 1
+                pad1 = p // 2 + 1
+                y = Blur(self.blur_kernel, pad=(pad0, pad1),
+                         upsample_factor=2, name="blur")(y)
         elif self.downsample:
             p = (len(self.blur_kernel) - 2) + (k - 1)
-            xs = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2),
-                      name="blur")(xs)
-            y = jax.lax.conv_general_dilated(
-                xs, w_eff, (2, 2), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if fold:
+                kb = make_resample_kernel(list(self.blur_kernel))
+                wf = _fold_kernel(kernel * scale, kb).astype(self.dtype)
+                xp = jnp.pad(xs, ((0, 0), ((p + 1) // 2, p // 2),
+                                  ((p + 1) // 2, p // 2), (0, 0)))
+                y = jax.lax.conv_general_dilated(
+                    xp, wf, (2, 2), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                xs = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2),
+                          name="blur")(xs)
+                y = jax.lax.conv_general_dilated(
+                    xs, w_eff, (2, 2), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         else:
             y = jax.lax.conv_general_dilated(
                 xs, w_eff, (1, 1), "SAME",
@@ -368,10 +437,20 @@ class ConvLayer(nn.Module):
     def __call__(self, x):
         if self.downsample:
             p = (len(self.blur_kernel) - 2) + (self.kernel_size - 1)
-            x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2))(x)
-            x = EqualConv(self.features, self.kernel_size, strides=2,
-                          padding="VALID", use_bias=not self.activate,
-                          dtype=self.dtype)(x)
+            if _fold_blur_enabled():
+                # blur o strided-conv fused on the MXU (see _fold_kernel);
+                # the edge pad is the blur's pad, the conv sees VALID
+                x = jnp.pad(x, ((0, 0), ((p + 1) // 2, p // 2),
+                                ((p + 1) // 2, p // 2), (0, 0)))
+                x = EqualConv(self.features, self.kernel_size, strides=2,
+                              padding="VALID", use_bias=not self.activate,
+                              fold_fir=self.blur_kernel,
+                              dtype=self.dtype)(x)
+            else:
+                x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2))(x)
+                x = EqualConv(self.features, self.kernel_size, strides=2,
+                              padding="VALID", use_bias=not self.activate,
+                              dtype=self.dtype)(x)
         else:
             x = EqualConv(self.features, self.kernel_size,
                           use_bias=not self.activate, dtype=self.dtype)(x)

@@ -670,3 +670,47 @@ def test_chunking_invariant_rng(tmp_path):
         for xa, xb in zip(jax.tree.leaves(x), jax.tree.leaves(y)):
             np.testing.assert_array_equal(
                 np.asarray(xa), np.asarray(xb), err_msg=name)
+
+
+def test_fold_blur_matches_unfolded(monkeypatch):
+    """The blur-fold (blur folded into the adjacent MXU conv kernel,
+    models/stylegan2.py _fold_kernel; reference stylegan2/model.py wraps
+    every stride-2 conv in a separate upfirdn2d) is numerically the same
+    model: identical param tree, outputs equal to fp32 reassociation
+    error, for both G (conv-transpose fold + crop) and D (pad + strided
+    conv fold)."""
+    G = StyleGAN2Generator(size=32)
+    D = StyleGAN2Discriminator(size=32)
+    k = jax.random.key(0)
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+
+    monkeypatch.setenv("DIAGAN_TPU_FOLD_BLUR", "0")
+    gv = G.init({"params": k, "noise": k}, z)
+    dv = D.init({"params": k}, x)
+    img_ref = G.apply(gv, z, rngs={"noise": k})
+    d_ref, _ = D.apply(dv, x)
+
+    monkeypatch.setenv("DIAGAN_TPU_FOLD_BLUR", "1")
+    gv2 = G.init({"params": k, "noise": k}, z)
+    assert jax.tree_util.tree_structure(gv2) == \
+        jax.tree_util.tree_structure(gv)
+    img = G.apply(gv, z, rngs={"noise": k})
+    d_out, _ = D.apply(dv, x)
+
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_out), np.asarray(d_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # gradients agree too (the fold is linear in the kernel param)
+    def g_loss(p, params):
+        monkeypatch.setenv("DIAGAN_TPU_FOLD_BLUR", p)
+        out = G.apply({"params": params}, z, rngs={"noise": k})
+        return jnp.mean(out**2)
+
+    g0 = jax.grad(lambda p: g_loss("0", p))(gv["params"])
+    g1 = jax.grad(lambda p: g_loss("1", p))(gv["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
