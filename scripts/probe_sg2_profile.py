@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_chunk(size, batch, steps, trace_dir):
+def run_chunk(size, batch, steps, trace_dir, augment_p=0.0):
     from diagan_tpu.models.stylegan2 import (
         StyleGAN2Discriminator,
         StyleGAN2Generator,
@@ -41,6 +41,7 @@ def run_chunk(size, batch, steps, trace_dir):
         StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
         imgs, num_steps=steps, batch_size=batch,
         log_every=steps, save_every=10**9, seed=0,
+        augment_p=augment_p,  # >0 = fixed-p ADA live in the chunk
         max_chunk=steps,  # one fixed-length program (no auto bootstrap)
     )
     tr.train(start_step=0)  # compile + warm
@@ -109,9 +110,11 @@ def main():
     p.add_argument("--size", default=256, type=int)
     p.add_argument("--batch", default=16, type=int)
     p.add_argument("--trace_dir", default="/tmp/sg2_trace")
+    p.add_argument("--augment_p", default=0.0, type=float)
     args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    run_chunk(args.size, args.batch, args.steps, args.trace_dir)
+    run_chunk(args.size, args.batch, args.steps, args.trace_dir,
+              augment_p=args.augment_p)
     aggregate(args.trace_dir, args.steps)
 
 
