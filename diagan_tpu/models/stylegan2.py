@@ -51,8 +51,22 @@ def _fold_blur_enabled():
     onto the MXU, where the 3x3 -> 6x6 kernel growth costs ~10 ms of
     extra flops — the convs run at ~70% of bf16 peak while the standalone
     FIR passes run at ~1/8 of HBM speed-of-light.
+
+    Backend-aware default: the fold is an MXU trade (more matmul flops
+    for zero bandwidth passes) and is actively WRONG on XLA-CPU, whose
+    conv path runs the grown 6x6 stride-2/transposed kernels ~2x slower
+    end-to-end (measured on the 8-device-mesh dryrun: 630 s/step folded
+    vs 322 s unfolded for the 16px twin-D fused step) — so it defaults
+    ON everywhere except the cpu backend. DIAGAN_TPU_FOLD_BLUR=0/1
+    still overrides both ways (A/B and debugging).
     """
-    return os.environ.get("DIAGAN_TPU_FOLD_BLUR", "1") != "0"
+    env = os.environ.get("DIAGAN_TPU_FOLD_BLUR")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # backend not initializable at trace-definition time
+        return True
 
 
 def _fold_kernel(w, k2):
@@ -127,6 +141,14 @@ class EqualConv(nn.Module):
                             (k, k, in_features, self.features))
         w_eff = kernel * scale
         if self.fold_fir is not None:
+            # the fold grows the effective kernel (3x3 -> 6x6 dilated);
+            # it is only correct when the caller pre-pads the input for
+            # the blur+conv pair and strides by the resample factor —
+            # "SAME" padding here would silently mis-place the taps
+            assert self.padding == "VALID" and self.strides == 2, (
+                "fold_fir requires pre-padded input with padding='VALID' "
+                "and strides=2 (blur o down-conv fusion)"
+            )
             w_eff = _fold_kernel(
                 w_eff, make_resample_kernel(list(self.fold_fir)))
         y = jax.lax.conv_general_dilated(
@@ -302,13 +324,18 @@ class MappingNetwork(nn.Module):
         return h
 
 
-def _channels(size, channel_multiplier=2):
+def _channels(size, channel_multiplier=2, width_scale=1.0):
+    # width_scale < 1 narrows every stage uniformly (floor 8ch) — a
+    # test/dryrun knob (the 8-device XLA-CPU dryrun runs 512-wide convs
+    # ~300 s/step at full width); reference configs always use 1.0
     base = {
         4: 512, 8: 512, 16: 512, 32: 512,
         64: 256 * channel_multiplier, 128: 128 * channel_multiplier,
         256: 64 * channel_multiplier, 512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    if width_scale != 1.0:
+        base = {k: max(8, int(v * width_scale)) for k, v in base.items()}
     return base
 
 
@@ -316,6 +343,7 @@ class SynthesisNetwork(nn.Module):
     size: int = 256
     style_dim: int = 512
     channel_multiplier: int = 2
+    width_scale: float = 1.0
     blur_kernel: tuple = (1, 3, 3, 1)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # per-layer nn.remat: O(layer) activation memory
@@ -335,7 +363,7 @@ class SynthesisNetwork(nn.Module):
         init and break checkpoint compatibility)."""
         SC = nn.remat(StyledConv) if self.remat else StyledConv
         TR = nn.remat(ToRGB) if self.remat else ToRGB
-        ch = _channels(self.size, self.channel_multiplier)
+        ch = _channels(self.size, self.channel_multiplier, self.width_scale)
         log_size = int(math.log2(self.size))
         num_layers = (log_size - 2) * 2 + 1
 
@@ -386,6 +414,7 @@ class StyleGAN2Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    width_scale: float = 1.0  # uniform channel narrowing (test/dryrun knob)
     dtype: jnp.dtype = jnp.float32  # synthesis compute dtype (mapping fp32)
     remat: bool = False  # rematerialize synthesis layers (see SynthesisNetwork)
 
@@ -393,6 +422,7 @@ class StyleGAN2Generator(nn.Module):
         self.mapping = MappingNetwork(self.style_dim, self.n_mlp)
         self.synthesis = SynthesisNetwork(
             self.size, self.style_dim, self.channel_multiplier,
+            width_scale=self.width_scale,
             dtype=self.dtype, remat=self.remat,
         )
         log_size = int(math.log2(self.size))
@@ -478,6 +508,7 @@ class DResBlock(nn.Module):
 class StyleGAN2Discriminator(nn.Module):
     size: int = 256
     channel_multiplier: int = 2
+    width_scale: float = 1.0  # uniform channel narrowing (test/dryrun knob)
     stddev_group: int = 4
     dtype: jnp.dtype = jnp.float32  # backbone compute dtype (head fp32)
     remat: bool = False  # per-ResBlock nn.remat (names pinned to the
@@ -486,7 +517,7 @@ class StyleGAN2Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x, update_stats: bool = False, train: bool = True):
         RB = nn.remat(DResBlock) if self.remat else DResBlock
-        ch = _channels(self.size, self.channel_multiplier)
+        ch = _channels(self.size, self.channel_multiplier, self.width_scale)
         log_size = int(math.log2(self.size))
         h = ConvLayer(ch[self.size], 1, dtype=self.dtype)(x)
         for i, res in enumerate([2**j for j in range(log_size, 2, -1)]):

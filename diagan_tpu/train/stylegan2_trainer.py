@@ -48,7 +48,10 @@ EMA_DECAY = 0.5 ** (32 / (10 * 1000))
 
 
 def reg_ratio_adam(lr, reg_every):
-    ratio = reg_every / (reg_every + 1)
+    # reg_every=0 -> lazy reg statically disabled: no ratio adjustment
+    # (reference train_ffhq.py:481-482 always has a reg interval; the
+    # disable switch is an additive probe/ablation feature)
+    ratio = reg_every / (reg_every + 1) if reg_every else 1.0
     return optax.adam(lr * ratio, b1=0.0 ** ratio, b2=0.99**ratio)
 
 
@@ -473,10 +476,13 @@ class StyleGAN2Trainer:
                     d, dd = args
                     return d, dd, jnp.zeros(())
 
-                d_state, d_drs_state, r1_pen = jax.lax.cond(
-                    gstep % self.d_reg_every == 0, with_r1, no_r1,
-                    (d_state, d_drs_state),
-                )
+                if self.d_reg_every:
+                    d_state, d_drs_state, r1_pen = jax.lax.cond(
+                        gstep % self.d_reg_every == 0, with_r1, no_r1,
+                        (d_state, d_drs_state),
+                    )
+                else:  # reg_every=0: R1 statically absent from the program
+                    r1_pen = jnp.zeros(())
 
                 g_state, g_ema, gm = g_step(g_state, g_ema, d_state.params, kg,
                                             ada_p)
@@ -490,10 +496,13 @@ class StyleGAN2Trainer:
                     g, ema, plm = args
                     return g, ema, plm, jnp.zeros(())
 
-                g_state, g_ema, pl_mean, path_pen = jax.lax.cond(
-                    gstep % self.g_reg_every == 0, with_path, no_path,
-                    (g_state, g_ema, pl_mean),
-                )
+                if self.g_reg_every:
+                    g_state, g_ema, pl_mean, path_pen = jax.lax.cond(
+                        gstep % self.g_reg_every == 0, with_path, no_path,
+                        (g_state, g_ema, pl_mean),
+                    )
+                else:  # reg_every=0: path-reg statically absent
+                    path_pen = jnp.zeros(())
                 metrics = {**dm, **gm, "r1": r1_pen, "path": path_pen}
                 return g_state, d_state, d_drs_state, g_ema, pl_mean, metrics
 
@@ -529,7 +538,8 @@ class StyleGAN2Trainer:
             def make_stream_chunk(n):
                 def chunk(g_state, d_state, d_drs_state, g_ema, pl_mean, key,
                           ada_p, start_step, step_xs, r1_xs):
-                    dre = self.d_reg_every
+                    # reg disabled (0) -> no slot ever selected
+                    dre = self.d_reg_every or 10**9
                     first_slot_step = (start_step + dre - 1) // dre
 
                     def body(carry, scanned):
@@ -699,7 +709,7 @@ class StyleGAN2Trainer:
                     self.d_drs_state, self.g_state.params, kdd,
                     self.ada_aug_p, images, **real_kw(False),
                 )
-            if gstep % self.d_reg_every == 0:
+            if self.d_reg_every and gstep % self.d_reg_every == 0:
                 self.d_state, rm = uf["d_r1"](
                     self.d_state, kr1, self.ada_aug_p, images,
                     **real_kw(True),
@@ -716,7 +726,7 @@ class StyleGAN2Trainer:
                 self.g_state, self.g_ema, self.d_state.params, kg,
                 self.ada_aug_p,
             )
-            if gstep % self.g_reg_every == 0:
+            if self.g_reg_every and gstep % self.g_reg_every == 0:
                 self.g_state, self.g_ema, self.pl_mean, pm = uf["path"](
                     self.g_state, self.g_ema, kpl, self.pl_mean,
                 )
@@ -744,7 +754,7 @@ class StyleGAN2Trainer:
         Under a mesh, bs here is the GLOBAL batch (per-device bs x devices);
         shard_map splits dim 1 across the data axis."""
         bs = self.batch_size * self._mesh_n
-        dre = self.d_reg_every
+        dre = self.d_reg_every or 10**9
         shape = self.images_np.shape[1:]
 
         def draw(count, weighted):

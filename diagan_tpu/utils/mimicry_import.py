@@ -30,9 +30,12 @@ Conv_2/SNConv_2, l1->Dense_0, final b/c -> top-level BatchNorm_0/Conv_0,
 head l{K+1} -> SNDense_0.
 
 The SSGAN rotation head (`l_y` in ssgan_32.py) maps to our SSGANRotHead's
-SNDense_0; InfoMax's local/global RKHS stacks are not auto-imported (their
-Sequential indices are less certain from source alone) — the importer
-raises listing any unconsumed keys rather than silently dropping them.
+SNDense_0; InfoMax's local/global RKHS projectors (infomax_gan_base.py:
+`local_nn` = SNConv2d 1x1, `global_nn` = Sequential(SNLinear, ReLU,
+SNLinear) at indices 0/2) map to _InfoMaxHeads_0's SNConv_0/SNDense_0/
+SNDense_1 (torch-oracle parity: tests/test_mimicry_import.py
+test_infomax_discriminator_forward_parity). The importer raises listing
+any unconsumed keys rather than silently dropping them.
 """
 from __future__ import annotations
 
