@@ -22,8 +22,14 @@ metrics, BASELINE.json):
       StyleGAN2-256 full fused training step (D + G + EMA + in-scan
       lazy R1/16 + path-reg/4, batch 16 bf16 — the reference FFHQ
       config's global batch, README.md:149-159). The MXU-relevant
-      workload; MFU from XLA cost analysis against the bf16 peak,
-      de-rated to the amortized regularizer schedule (see _sg2_bench).
+      workload; MFU on the fixed unfolded algorithmic flop basis
+      against the bf16 peak, de-rated to the amortized regularizer
+      schedule (see _sg2_bench). Measured at pinned ada_aug_p=0 with
+      the exact timed program variant pre-warmed (_sg2_measure — the
+      round-4 phantom-regression fix).
+  sg2_256_ada_ms_per_step / sg2_256_ada_img_per_sec —
+      the same step at pinned ada_aug_p=0.05, the ADA-live operating
+      point a real FFHQ phase-2 run pays (augment fwd+bwd compiled in).
 """
 from __future__ import annotations
 
@@ -196,40 +202,98 @@ def _run():
     print(json.dumps(out))
 
 
-def _compare_with_previous(out, threshold=0.10, root=None):
+# Fields that are flop-count BASES, not measurements — a change there is a
+# metric-definition change (e.g. the round-4 switch from cost-analysis to
+# the unfolded algorithmic constant), so regression-diffing them only
+# produces spurious warnings (ADVICE r4).
+_BASIS_FIELDS = ("gflop_per_step", "flops_per_step")
+
+
+def _compare_with_previous(out, threshold=0.10, root=None, window=3):
     """Cross-round regression guard: diff this run's numeric fields against
-    the newest BENCH_r*.json (the driver's record of the previous round)
-    and print a LOUD stderr warning on any >threshold regression. Fields
-    containing 'ms_per_step' are lower-is-better; everything else
-    higher-is-better. Adds prev_bench/regressions to the JSON line so the
-    comparison is part of the round artifact."""
+    the BEST value each field reached over the last `window` BENCH_r*.json
+    artifacts, and print a LOUD stderr warning on any >threshold
+    regression. Fields containing 'ms_per_step' are lower-is-better;
+    everything else higher-is-better.
+
+    Best-over-window (not newest-only) so one broken artifact cannot grade
+    the next round: BENCH_r04 recorded a 15x phantom regression (a timed
+    recompile, see _sg2_measure), and diffing round 5 against *it* would
+    have read a mere return to normal as a huge win while hiding real
+    slippage vs round 3 (VERDICT r4 weak #3). Adds prev_bench (the files
+    compared against) + regressions to the JSON line so the comparison is
+    part of the round artifact."""
     import glob
     from pathlib import Path
 
     cands = sorted(glob.glob(str(Path(root or Path(__file__).parent)
-                                 / "BENCH_r*.json")))
+                                 / "BENCH_r*.json")))[-window:]
     if not cands:
         return
-    try:
-        prev = json.loads(Path(cands[-1]).read_text()).get("parsed") or {}
-    except Exception:
+    prevs = []
+    for c in cands:
+        try:
+            prevs.append((Path(c).name,
+                          json.loads(Path(c).read_text()).get("parsed") or {}))
+        except Exception:
+            continue
+    if not prevs:
         return
     regressions = []
     for key, val in out.items():
-        pv = prev.get(key)
-        if not isinstance(val, (int, float)) or not isinstance(pv, (int, float)):
+        if not isinstance(val, (int, float)) or isinstance(val, bool):
             continue
-        if pv == 0:
+        if any(key.endswith(b) for b in _BASIS_FIELDS):
             continue
         lower_better = "ms_per_step" in key
-        change = (val - pv) / abs(pv)
+        vals = [(p.get(key), name) for name, p in prevs
+                if isinstance(p.get(key), (int, float)) and p.get(key) != 0]
+        if not vals:
+            continue
+        best, best_src = (min if lower_better else max)(
+            vals, key=lambda t: t[0]
+        )
+        change = (val - best) / abs(best)
         if (change > threshold) if lower_better else (change < -threshold):
-            regressions.append(f"{key}: {pv} -> {val}")
-    out["prev_bench"] = Path(cands[-1]).name
+            regressions.append(f"{key}: {best} ({best_src}) -> {val}")
+    out["prev_bench"] = [name for name, _ in prevs]
     out["regressions"] = regressions
     if regressions:
-        print("WARN: BENCH REGRESSION vs " + Path(cands[-1]).name + ": "
+        print("WARN: BENCH REGRESSION vs best of "
+              + ",".join(out["prev_bench"]) + ": "
               + "; ".join(regressions), file=sys.stderr)
+
+
+def _sg2_measure(tr, steps, ada_p):
+    """Time the fused chunk at a PINNED ada_aug_p, warming the exact
+    (steps, aug_live) program variant with an untimed call first.
+
+    This is the round-4 phantom-regression fix (VERDICT r4 weak #1):
+    tr.train() used to be the only warmup, but adaptive ADA tuning during
+    those steps pushed ada_aug_p above 0, flipping _chunk_for's host-side
+    variant key to (steps, True) — a never-compiled program — so the timed
+    region contained a full XLA compile (6008.7 "ms/step" = one 256px
+    fused-chunk compile / 25). Here the operating point is pinned, the
+    warm call IS the timed callable with the identical arg signature, and
+    the variant-key assert makes the failure mode structural.
+    """
+    import jax.numpy as jnp
+
+    tr.ada_aug_p = float(ada_p)  # pin: the benched program must not
+    # depend on what ADA tuning did during any earlier run
+    chunk = tr._chunk_for(steps)
+    args = (tr.g_state, tr.d_state, tr.d_drs_state, tr.g_ema, tr.pl_mean,
+            jax.random.key(7), jnp.float32(ada_p), jnp.int32(steps),
+            tr.images)
+    res = chunk(*args)  # untimed: compiles if needed + warms
+    np.asarray(res[-1]["d"])  # d2h transfer = the reliable sync point
+    # the timed callable must already be cached under the CURRENT key —
+    # pinned by tests/test_bench_flops.py
+    assert (steps, tr._aug_live()) in tr._plain_chunks
+    t0 = time.perf_counter()
+    res = chunk(*args)
+    np.asarray(res[-1]["d"])
+    return (time.perf_counter() - t0) / steps
 
 
 def _sg2_bench(size=256, batch=16, steps=25):
@@ -254,19 +318,16 @@ def _sg2_bench(size=256, batch=16, steps=25):
         StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
         imgs, num_steps=steps, batch_size=batch,
         log_every=steps, save_every=10**9, seed=0,
+        # augment_p=0.0 -> adaptive ADA, the product config; the benched
+        # operating points below are pinned per-measurement regardless
+        augment_p=0.0,
         # explicit: one steps-length program; keeps the measured chunk
         # identical to prior rounds (auto envelope sizing would bootstrap
         # with shorter dispatches and compile extra program lengths)
         max_chunk=steps,
     )
-    tr.train(start_step=0)  # compiles + warms the chunk program
-    chunk = tr._chunk_for(steps)
-    args = (tr.g_state, tr.d_state, tr.d_drs_state, tr.g_ema, tr.pl_mean,
-            jax.random.key(7), tr.ada_aug_p, jnp.int32(steps), tr.images)
-    t0 = time.perf_counter()
-    res = chunk(*args)
-    np.asarray(res[-1]["d"])  # d2h transfer = the reliable sync point
-    dt = (time.perf_counter() - t0) / steps
+    # p = 0: no augment code compiled in — the historical headline number
+    dt = _sg2_measure(tr, steps, ada_p=0.0)
     fields = {
         "sg2_256_ms_per_step": round(dt * 1000, 1),
         "sg2_256_img_per_sec": round(batch / dt, 1),
@@ -294,6 +355,21 @@ def _sg2_bench(size=256, batch=16, steps=25):
             fields["sg2_256_mfu_pct"] = round(
                 100.0 * flops_per_step / dt / (peak * 1e12), 2
             )
+    else:
+        print(f"WARN: sg2 gflop/mfu fields skipped — the fixed flops "
+              f"basis was measured for (size,batch)=(256,16), got "
+              f"({size},{batch}); re-run scripts/probe_sg2_flops_split.py "
+              f"for this config", file=sys.stderr)
+
+    # ADA-live: the operating point the flagship phase-2 config actually
+    # pays (adaptive ADA tunes p upward from 0 within the first ~1k steps
+    # of a real FFHQ run; the round-4 soak's realized point was p~0.05).
+    # First-class so the augment-path cost has its own regression guard
+    # (VERDICT r4 weak #4). No MFU: the flop basis above is the p=0
+    # algorithm; augmentation adds work that basis doesn't count.
+    dt_ada = _sg2_measure(tr, steps, ada_p=0.05)
+    fields["sg2_256_ada_ms_per_step"] = round(dt_ada * 1000, 1)
+    fields["sg2_256_ada_img_per_sec"] = round(batch / dt_ada, 1)
     return fields
 
 
