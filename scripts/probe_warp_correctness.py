@@ -23,7 +23,7 @@ def main():
     pad = min(h - 1, int(0.75 * h) + 6)
     s2 = 2 * (h + pad)
     win = 2 * h + 12
-    n, c = 4, 3
+    n, c = 5, 3
     rng = np.random.default_rng(0)
     x2 = jnp.asarray(rng.normal(size=(n, s2, s2, c)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(n, win, win, c)), jnp.float32)
@@ -34,6 +34,9 @@ def main():
          1.3 * np.sin(th), 1.3 * np.cos(th), s2 * 0.14],      # rot+scale
         [0.45, 0.03, s2 * 0.3, -0.03, 0.45, s2 * 0.3],        # shrink
         [1.0, 0.0, 30.0, 0.0, -1.05, float(s2) - 40.0],       # flip + clip
+        [0.45, 0.0, s2 * 0.3, 0.0, 0.45, s2 * 0.31],          # separable
+        # fractional scale (exercises the rank-32 fast path with
+        # non-trivial hat weights)
     ]
     coef = jnp.asarray(np.stack(rows), jnp.float32)
 
