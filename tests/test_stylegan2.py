@@ -714,3 +714,45 @@ def test_fold_blur_matches_unfolded(monkeypatch):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_fold_blur_backend_default(monkeypatch):
+    """The blur-fold defaults OFF on the cpu backend (an MXU trade that
+    runs 2x slower through XLA-CPU's conv path) and the env var overrides
+    both ways (models/stylegan2.py _fold_blur_enabled)."""
+    from diagan_tpu.models.stylegan2 import _fold_blur_enabled
+
+    monkeypatch.delenv("DIAGAN_TPU_FOLD_BLUR", raising=False)
+    assert jax.default_backend() == "cpu"  # test tier runs the CPU mesh
+    assert _fold_blur_enabled() is False
+    monkeypatch.setenv("DIAGAN_TPU_FOLD_BLUR", "1")
+    assert _fold_blur_enabled() is True
+    monkeypatch.setenv("DIAGAN_TPU_FOLD_BLUR", "0")
+    assert _fold_blur_enabled() is False
+
+
+def test_width_scale_narrows_channels():
+    """width_scale (the dryrun/test knob) narrows every stage uniformly
+    with an 8-channel floor and leaves the module structure (param tree
+    keys) identical to the full-width model."""
+    from diagan_tpu.models.stylegan2 import _channels
+
+    full = _channels(16)
+    narrow = _channels(16, width_scale=0.125)
+    assert narrow == {k: max(8, v // 8) for k, v in full.items()}
+
+    k = jax.random.key(0)
+    g = StyleGAN2Generator(size=16, style_dim=64, n_mlp=2, width_scale=0.125)
+    d = StyleGAN2Discriminator(size=16, width_scale=0.125)
+    z = jnp.zeros((2, 64))
+    gv = g.init({"params": k, "noise": k}, z)
+    img = g.apply(gv, z, rngs={"noise": k})
+    assert img.shape == (2, 16, 16, 3)
+    logits, _ = d.apply(d.init({"params": k}, img), img)
+    assert logits.shape == (2,)
+
+    g_full = StyleGAN2Generator(size=16, style_dim=64, n_mlp=2)
+    gv_full = jax.eval_shape(
+        lambda: g_full.init({"params": k, "noise": k}, z))
+    assert (jax.tree_util.tree_structure(gv_full)
+            == jax.tree_util.tree_structure(gv))
