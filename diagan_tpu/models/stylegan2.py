@@ -209,7 +209,11 @@ class ModulatedConv(nn.Module):
         xs = x.astype(self.dtype) * s[:, None, None, :].astype(self.dtype)
         w_eff = w_eff.astype(self.dtype)
 
-        fold = _fold_blur_enabled()
+        # fold only maps whose OUTPUT stays <= 512px: at 1024px the
+        # folded 6x6 transposed-conv layout pads past HBM (16.05G needed,
+        # round-5 probe) while the unfolded form fits and runs 620 ms —
+        # mixed folding keeps the <=512 wins and the big maps unfolded
+        fold = _fold_blur_enabled() and (2 * h <= 512)
         if self.upsample:
             if fold and k == 3 and len(self.blur_kernel) == 4:
                 # blur o conv_transpose fused on the MXU: 6x6 folded
@@ -467,7 +471,8 @@ class ConvLayer(nn.Module):
     def __call__(self, x):
         if self.downsample:
             p = (len(self.blur_kernel) - 2) + (self.kernel_size - 1)
-            if _fold_blur_enabled():
+            # mirror of ModulatedConv's size gate (input map here)
+            if _fold_blur_enabled() and x.shape[1] <= 512:
                 # blur o strided-conv fused on the MXU (see _fold_kernel);
                 # the edge pad is the blur's pad, the conv sees VALID
                 x = jnp.pad(x, ((0, 0), ((p + 1) // 2, p // 2),

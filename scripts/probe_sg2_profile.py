@@ -27,15 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_chunk(size, batch, steps, trace_dir, augment_p=0.0):
+def run_chunk(size, batch, steps, trace_dir, augment_p=0.0, num_data=512):
     from diagan_tpu.models.stylegan2 import (
         StyleGAN2Discriminator,
         StyleGAN2Generator,
     )
     from diagan_tpu.train.stylegan2_trainer import StyleGAN2Trainer
 
+    # 512 images is 1.6 GB of HBM at 1024px (OOMs by ~50 MB next to the
+    # model) — scale the synthetic dataset down for the large sizes
     imgs = np.random.default_rng(0).integers(
-        0, 255, (512, size, size, 3), np.uint8)
+        0, 255, (num_data, size, size, 3), np.uint8)
     tr = StyleGAN2Trainer(
         "/tmp/probe_sg2_prof", StyleGAN2Generator(size=size, dtype=jnp.bfloat16),
         StyleGAN2Discriminator(size=size, dtype=jnp.bfloat16),
@@ -111,10 +113,11 @@ def main():
     p.add_argument("--batch", default=16, type=int)
     p.add_argument("--trace_dir", default="/tmp/sg2_trace")
     p.add_argument("--augment_p", default=0.0, type=float)
+    p.add_argument("--num_data", default=512, type=int)
     args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     run_chunk(args.size, args.batch, args.steps, args.trace_dir,
-              augment_p=args.augment_p)
+              augment_p=args.augment_p, num_data=args.num_data)
     aggregate(args.trace_dir, args.steps)
 
 

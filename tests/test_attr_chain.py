@@ -100,7 +100,7 @@ def test_attr_tooling_chain(celeba_root, tmp_path):
         ["eval_gan_celeba_with_attr.py", "--root", str(celeba_root),
          "--work_dir", str(work), "--exp_name", exp, "--model", "sngan",
          "--loss_type", "hinge", "--netG_ckpt_step", "4", "--attr", "Male",
-         "--batch_size", "16", "--num_real_samples", "48",
+         "--batch_size", "16", "--num_real_samples", "40",
          "--num_fake_samples", "32", "--metric", "all"],
         cwd=ROOT, timeout=1200,
     )
@@ -114,10 +114,13 @@ def test_attr_tooling_chain(celeba_root, tmp_path):
     )
     assert fid["attr"] > 0 and fid["not_attr"] > 0
     # real stats cached in the reference npz layout (compute_fid_with_attr
-    # .py:50-80); the 48-sample cap keys the cache so it can't poison a
-    # full evaluation
+    # .py:50-80); the sample cap keys the cache so a smoke run can't
+    # poison a full evaluation. NB: the synthetic attrs median-threshold
+    # to an exact 48/48 Male split on 96 images, so num_real must sit
+    # BELOW 48 for the cap tag to (correctly) engage — 48 selects every
+    # subset image, which is the canonical, untagged cache.
     stats = (exp_dir / "metrics" / "fid" / "statistics"
-             / "fid_stats_sngan_celeba_Male_cap48_run_1.npz")
+             / "fid_stats_sngan_celeba_Male_cap40_run_1.npz")
     assert stats.is_file()
     f = np.load(stats)
     assert set(f.files) == {"attr_mu", "attr_sigma", "not_attr_mu",
