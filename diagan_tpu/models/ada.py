@@ -469,10 +469,20 @@ def apply_affine(images, G, antialias=True, pad_frac=0.75, polyphase=None,
 
 
 def apply_color(images, C):
-    n, h, w, c = images.shape
-    rgb = jnp.concatenate([images, jnp.ones((n, h, w, 1), images.dtype)], -1)
-    out = jnp.einsum("nij,nhwj->nhwi", C, rgb)
-    return out[..., :3]
+    """out[..., i] = sum_j C[i, j] * (r, g, b, 1)[j] — written as explicit
+    per-channel FMAs rather than an einsum: in a standalone jit on TPU,
+    XLA lowers the j=4 einsum contraction onto the MXU (padded 4 -> 128,
+    operands demoted to bf16, ~4e-3 abs error vs fp32). The FMA form is
+    fp32-exact in every lowering context and fuses into one VPU
+    elementwise pass; inside the fused train chunk the two forms measure
+    the same speed (docs/ROADMAP.md item 14)."""
+    c0, c1, c2 = (C[:, :, 0][:, :, None, None], C[:, :, 1][:, :, None, None],
+                  C[:, :, 2][:, :, None, None])
+    c3 = C[:, :, 3][:, :, None, None]
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    cols = [c0[:, i] * r + c1[:, i] * g + c2[:, i] * b + c3[:, i]
+            for i in range(3)]
+    return jnp.stack(cols, -1)
 
 
 def augment(images, key, p, antialias=True, pad_frac=0.75,
